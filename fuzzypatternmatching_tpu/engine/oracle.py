@@ -1,0 +1,402 @@
+"""Conformance oracle — a faithful, slow Python implementation of the
+reference search loop, used as ground truth for the TPU engine's tests.
+
+It mirrors, phase by phase, run_pattern_matching_beta.cpp:544-1351 with the
+kernels:
+
+* LCC: label_propagation_pattern_matching_nonunique_ee.hpp (bsp entry :1033)
+  extended with the APM fuzzy acceptance rule
+  (approximate_pattern_matching/local_constraint_checking.hpp:1062-1113);
+  for all-mandatory templates the two coincide.
+* NLCC: token_passing_pattern_matching_nonunique_nem_1.hpp (path/cycle
+  checking with the per-(vertex,source) forwarded-token cache).
+* TDS enumeration: token_passing_pattern_matching_nonunique_tds_batch_1.hpp
+  (full walk history, enumeration index rules, subgraph emission).
+
+Determinism note: the reference's async visitor engine forwards at most one
+token per (vertex, source) per constraint run, the winner being whichever
+message arrives first (nem_1.hpp:131-139, 270-286). Arrival order is
+schedule-dependent in MPI. This oracle (and the TPU engine) fixes a
+deterministic rule: breadth-synchronous supersteps, and among same-superstep
+arrivals at (v, source) the token with the smallest parent id wins. LCC is
+order-independent, so its trace matches any reference schedule exactly; the
+NLCC *accept/reject decision per source* is order-independent in all
+non-adversarial cases (acceptance only requires some walk to survive).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.csr import Graph
+from ..pattern.nonlocal_constraint import NonLocalConstraint
+from ..pattern.pattern_graph import PatternGraph
+
+
+@dataclass
+class PhaseRow:
+    itr: int
+    phase: str  # "LP" or "TP"
+    step: int  # superstep (LP) or constraint index pl (TP)
+    active_vertices: int
+    active_edges: int
+    messages: int
+
+
+@dataclass
+class MatchResult:
+    rows: list[PhaseRow] = field(default_factory=list)
+    iterations: int = 0
+    pattern_found: list[bool] = field(default_factory=list)
+    subgraphs: dict[int, list[tuple]] = field(default_factory=dict)
+    active_vertices: dict[int, int] = field(default_factory=dict)  # v -> tv bits
+    active_edges: set = field(default_factory=set)  # (v, nbr) pairs
+
+    def lp_trace(self) -> list[tuple[int, int, int]]:
+        return [
+            (r.itr, r.step, r.active_vertices) for r in self.rows if r.phase == "LP"
+        ]
+
+
+class MatchOracle:
+    def __init__(
+        self,
+        graph: Graph,
+        labels: np.ndarray,
+        pattern: PatternGraph,
+        constraints: list[NonLocalConstraint],
+    ):
+        self.g = graph
+        self.labels = np.asarray(labels, dtype=np.uint64)
+        self.p = pattern
+        self.constraints = constraints
+        v = graph.num_vertices
+        self.active = np.ones(v, dtype=bool)
+        self.tv = np.zeros(v, dtype=np.uint32)  # template_vertices bitsets
+        # vertex_active_edges_map: v -> {nbr: flag}
+        self.alive: list[dict[int, int]] = [dict() for _ in range(v)]
+        # per-template-vertex "any valid parent" masks
+        self._adj_all = pattern.edges_bitset_all.astype(np.uint32)
+        self._label_tv = pattern.label_match_bitset(self.labels).astype(np.uint32)
+
+    # ------------------------------------------------------------------ LCC
+
+    def _accept_mask(self, cand: int) -> int:
+        """OR of pattern adjacency bitsets over the set bits of cand — a
+        message with parent bits P is a valid-parent message iff
+        P & mask != 0 (nonunique_ee.hpp:1000-1027)."""
+        m = 0
+        i = 0
+        c = cand
+        while c:
+            if c & 1:
+                m |= int(self._adj_all[i])
+            c >>= 1
+            i += 1
+        return m
+
+    def _constraint_ok(self, i: int, tn: int) -> bool:
+        """APM per-template-vertex acceptance
+        (local_constraint_checking.hpp:1062-1113)."""
+        mand = int(self.p.edges_bitset[i])
+        ok_mand = mand == 0 or (mand & tn) == mand
+        opt_min = int(self.p.min_optional_edge_count[i])
+        if opt_min > 0:
+            ob = int(self.p.edges_bitset_optional[i])
+            t = ob & tn
+            # the reference requires *all* optional-neighbor classes heard
+            # AND the count threshold (local_constraint_checking.hpp:1092-1099)
+            ok_opt = t == ob and bin(t).count("1") >= opt_min
+        else:
+            ok_opt = True
+        return ok_mand and ok_opt
+
+    def lcc_call(self, global_init_step: bool, itr: int, result: MatchResult) -> bool:
+        """One label_propagation_pattern_matching_bsp call: ``diameter``
+        supersteps. Returns True if any vertex was invalidated."""
+        not_finished = False
+        for s in range(self.p.diameter):
+            init = s == 0 and global_init_step
+            msgs = []
+            if init:
+                # first superstep of the first call: derive candidates from
+                # labels, send along the original graph
+                for v in range(self.g.num_vertices):
+                    if not self.active[v]:
+                        continue
+                    cand = int(self._label_tv[v])
+                    if cand == 0:
+                        self.active[v] = False
+                        self.tv[v] = 0
+                    else:
+                        self.tv[v] = cand
+                for v in range(self.g.num_vertices):
+                    if self.active[v] and self.tv[v]:
+                        for nbr in self.g.neighbors(v):
+                            msgs.append((int(nbr), v, int(self.tv[v])))
+            else:
+                for v in range(self.g.num_vertices):
+                    if self.active[v] and self.tv[v]:
+                        for nbr in list(self.alive[v].keys()):
+                            msgs.append((nbr, v, int(self.tv[v])))
+
+            # deliver: accumulate template_neighbors, mark active edges
+            tn: dict[int, int] = {}
+            for v, parent, bits in msgs:
+                if not self.active[v] or self.tv[v] == 0:
+                    continue
+                if bits & self._accept_mask(int(self.tv[v])) == 0:
+                    continue  # no valid parent among sender's bits
+                tn[v] = tn.get(v, 0) | bits
+                if init:
+                    self.alive[v][parent] = 1
+                elif parent in self.alive[v]:
+                    self.alive[v][parent] = 1
+                # (s>0 accept for an erased edge entry still contributes to
+                # tn but cannot resurrect the edge — nonunique_ee.hpp:790-814)
+
+            # verify_and_update_vertex_state (nonunique_ee.hpp:829-1027)
+            for v in range(self.g.num_vertices):
+                if not self.active[v] or self.tv[v] == 0:
+                    continue
+                if v not in tn:
+                    if init:
+                        # valid label but heard no valid parent: not in map
+                        self.active[v] = False
+                        self.tv[v] = 0
+                        self.alive[v].clear()
+                        continue
+                    tn_v = 0
+                else:
+                    tn_v = tn[v]
+                cand = int(self.tv[v])
+                for i in range(self.p.vertex_count):
+                    if cand >> i & 1 and not self._constraint_ok(i, tn_v):
+                        cand &= ~(1 << i)
+                if cand == 0:
+                    self.active[v] = False
+                    self.tv[v] = 0
+                    self.alive[v].clear()
+                    not_finished = True
+                else:
+                    self.tv[v] = cand
+                    for nbr in [n for n, f in self.alive[v].items() if not f]:
+                        del self.alive[v][nbr]
+                    for nbr in self.alive[v]:
+                        self.alive[v][nbr] = 0
+
+            result.rows.append(
+                PhaseRow(itr, "LP", s, *self._counts(), len(msgs))
+            )
+        return not_finished
+
+    def _counts(self) -> tuple[int, int]:
+        av = int(np.sum(self.tv != 0))
+        ae = sum(len(self.alive[v]) for v in range(self.g.num_vertices) if self.tv[v])
+        return av, ae
+
+    # ----------------------------------------------------------------- NLCC
+
+    def _token_sources(self, c: NonLocalConstraint) -> list[int]:
+        out = []
+        lbl0 = int(c.labels[0])
+        bit0 = int(c.indices[0])
+        bitl = int(c.indices[-1])
+        for v in range(self.g.num_vertices):
+            if not self.active[v] or int(self.labels[v]) != lbl0:
+                continue
+            tvv = int(self.tv[v])
+            if tvv == 0 or not (tvv >> bit0 & 1):
+                continue
+            if not c.is_tds and not c.valid_cycle and not c.selected_vertices:
+                # path checking: the source must also be a candidate for the
+                # walk's other endpoint (nem_1.hpp:435-448)
+                if not (tvv >> bitl & 1):
+                    continue
+            out.append(v)
+        return out
+
+    def nlcc_call(self, c: NonLocalConstraint, pl: int, result: MatchResult):
+        """One token-passing run. Returns (token_source_map, messages)."""
+        if c.selected_vertices:
+            raise NotImplementedError("selected-vertices work aggregation")
+        sources = self._token_sources(c)
+        token_source_map = {s: False for s in sources}
+        maxi = c.cycle_length
+        labels, indices = c.labels, c.indices
+        forwarded: set[tuple[int, int]] = set()
+        subgraphs: list[tuple] = []
+        messages = 0
+
+        # position-0 send along alive edges (nem_1.hpp:479-525; TDS
+        # tds_batch_1.hpp:424-520)
+        if c.is_tds:
+            inflight = [
+                (int(nbr), src, src, (src,)) for src in sources for nbr in self.alive[src]
+            ]
+        else:
+            inflight = [(int(nbr), src, src) for src in sources for nbr in self.alive[src]]
+
+        for h in range(1, maxi + 2):
+            messages += len(inflight)
+            lbl_h = int(labels[h])
+            bit_h = int(indices[h])
+            final = h == maxi + 1
+            arrivals = []
+            for tok in inflight:
+                v, src, parent = tok[0], tok[1], tok[2]
+                if not self.active[v] or int(self.labels[v]) != lbl_h:
+                    continue
+                if not (int(self.tv[v]) >> bit_h & 1):
+                    continue
+                if not final:
+                    if not c.is_tds:
+                        if v == src:
+                            continue  # target cannot relay (nem_1.hpp:173-177)
+                        if (v, src) in forwarded:
+                            continue
+                    if c.is_tds:
+                        # enumeration rule for position h
+                        # (tds_batch_1.hpp:620-639)
+                        visited = tok[3]
+                        k = int(c.enumeration[h])
+                        if k == h:
+                            if v in visited:
+                                continue
+                        elif k < h:
+                            if visited[k] != v:
+                                continue
+                        else:
+                            continue
+                arrivals.append(tok)
+
+            if final:
+                for tok in arrivals:
+                    v, src, parent = tok[0], tok[1], tok[2]
+                    if not c.valid_cycle:
+                        if v == src:
+                            continue  # invalid cycle for a path constraint
+                        token_source_map[src] = True
+                        if c.is_tds:
+                            subgraphs.append(tok[3] + (v, v))
+                    else:
+                        if v != src:
+                            continue
+                        if c.is_tds and tok[3][0] != v:
+                            continue
+                        token_source_map[src] = True
+                        if c.is_tds:
+                            subgraphs.append(tok[3] + (v, v))
+                        elif parent in self.alive[v]:
+                            # mark the edge the winning token came in on
+                            # (nem_1.hpp:762-770)
+                            self.alive[v][parent] = 1
+                break
+
+            nxt = []
+            if c.is_tds:
+                # no per-(vertex,source) dedup in TDS — full enumeration
+                for v, src, parent, visited in arrivals:
+                    visited2 = visited + (v,)
+                    for nbr in self.alive[v]:
+                        if h == maxi:
+                            # penultimate hop (tds_batch_1.hpp:806-846):
+                            # cycle — only forward to the source, and skip
+                            # the enumeration check (the closure is a dup of
+                            # visited[0] by construction); path — never to
+                            # the source, enumeration check applies.
+                            if c.valid_cycle:
+                                if nbr != src:
+                                    continue
+                                nxt.append((int(nbr), src, v, visited2))
+                                continue
+                            if nbr == src:
+                                continue
+                        k = int(c.enumeration[h + 1])
+                        if k == h + 1:
+                            if nbr in visited2:
+                                continue
+                        elif k < h + 1:
+                            if visited2[k] != nbr:
+                                continue
+                        else:
+                            continue
+                        nxt.append((int(nbr), src, v, visited2))
+            else:
+                # group same-superstep arrivals by (v, src); min-parent wins
+                best: dict[tuple[int, int], int] = {}
+                for v, src, parent in arrivals:
+                    key = (v, src)
+                    if key not in best or parent < best[key]:
+                        best[key] = parent
+                for (v, src), parent in sorted(best.items()):
+                    forwarded.add((v, src))
+                    for nbr in self.alive[v]:
+                        if nbr == parent:
+                            continue
+                        nxt.append((int(nbr), src, v))
+            inflight = nxt
+
+        if c.is_tds:
+            result.subgraphs.setdefault(pl, []).extend(subgraphs)
+        return token_source_map, messages
+
+    def invalidate_sources(self, c: NonLocalConstraint, token_source_map) -> bool:
+        """Reset the source template-vertex bit of failed sources
+        (run_pattern_matching_beta.cpp:964-1016)."""
+        deleted = False
+        bit = int(c.indices[-1] if c.selected_vertices else c.indices[0])
+        for src, ok in token_source_map.items():
+            if ok:
+                continue
+            tvv = int(self.tv[src])
+            if tvv == 0:
+                continue
+            if tvv >> bit & 1:
+                tvv &= ~(1 << bit)
+                self.tv[src] = tvv
+            if tvv == 0:
+                self.active[src] = False
+                self.alive[src].clear()
+            deleted = True
+        return deleted
+
+    # ----------------------------------------------------------- driver loop
+
+    def run(self, max_iterations: int = 100) -> MatchResult:
+        result = MatchResult()
+        result.pattern_found = [False] * len(self.constraints)
+        global_init_step = True
+        itr = 0
+        while True:
+            not_finished = self.lcc_call(global_init_step, itr, result)
+            global_init_step = False
+            if itr == 0:
+                not_finished = True  # forced token passing (beta.cpp:691-696)
+            if not_finished:
+                not_finished = False
+                for pl, c in enumerate(self.constraints):
+                    tsm, msg_count = self.nlcc_call(c, pl, result)
+                    if any(tsm.values()):
+                        result.pattern_found[pl] = True
+                    deleted = self.invalidate_sources(c, tsm)
+                    if deleted:
+                        not_finished = True
+                    result.rows.append(
+                        PhaseRow(itr, "TP", pl, *self._counts(), msg_count)
+                    )
+                    if deleted and c.interleave_lcc:
+                        if self.lcc_call(False, itr, result):
+                            not_finished = True
+            itr += 1
+            if not not_finished or itr >= max_iterations:
+                break
+        result.iterations = itr
+        for v in range(self.g.num_vertices):
+            if self.tv[v]:
+                result.active_vertices[v] = int(self.tv[v])
+                for nbr in self.alive[v]:
+                    result.active_edges.add((v, nbr))
+        return result

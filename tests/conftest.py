@@ -1,0 +1,15 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax loads.
+
+Multi-chip hardware is not available in CI; sharding tests validate against
+8 virtual CPU devices (the driver separately dry-runs the multi-chip path).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
