@@ -1,0 +1,145 @@
+"""Match driver — the prune-to-fixpoint application loop.
+
+Mirrors run_pattern_matching_beta.cpp:544-1351: LCC call (diameter
+supersteps), forced token passing on iteration 0, per-constraint NLCC with
+source invalidation, interleaved LCC re-runs after source deletions, global
+fixpoint. LCC runs on the accelerator (engine/lcc.py); NLCC frontiers run as
+vectorized host supersteps (engine/nlcc.py); state crosses the boundary once
+per phase (a V-sized uint32 + an E-sized bool).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..pattern.nonlocal_constraint import NonLocalConstraint
+from ..pattern.pattern_graph import PatternGraph
+from .lcc import LccEngine, LccState
+from .nlcc import AliveCsr, invalidate_sources, run_nem, run_tds
+from .result import MatchResult, PhaseRow
+
+
+class MatchEngine:
+    def __init__(
+        self,
+        graph: Graph,
+        labels: np.ndarray,
+        pattern: PatternGraph,
+        constraints: list[NonLocalConstraint],
+    ):
+        self.graph = graph
+        self.labels = np.asarray(labels, dtype=np.uint64)
+        self.pattern = pattern
+        self.constraints = constraints
+        self.lcc = LccEngine(graph, self.labels, pattern)
+        # sorted (row*V + col) keys for O(log E) edge-slot lookup
+        self._edge_keys = graph.edge_row.astype(np.uint64) * np.uint64(
+            graph.num_vertices
+        ) + graph.cols.astype(np.uint64)
+
+    def _edge_index(self, v: int, u: int) -> int:
+        key = np.uint64(v) * np.uint64(self.graph.num_vertices) + np.uint64(u)
+        i = int(np.searchsorted(self._edge_keys, key))
+        if i < len(self._edge_keys) and self._edge_keys[i] == key:
+            return i
+        return -1
+
+    def _lcc_phase(
+        self, state: LccState, global_init: bool, itr: int, result: MatchResult
+    ) -> tuple[LccState, bool]:
+        t0 = time.perf_counter()
+        state, rows, died = self.lcc.lcc_call(state, global_init)
+        dt = (time.perf_counter() - t0) / max(len(rows), 1)
+        for s, (av, ae, msgs) in enumerate(rows):
+            result.rows.append(PhaseRow(itr, "LP", s, av, ae, msgs, dt))
+            result.traversed_edges += msgs
+        return state, died
+
+    def run(self, max_iterations: int = 100) -> MatchResult:
+        t_start = time.perf_counter()
+        result = MatchResult()
+        result.pattern_found = [False] * len(self.constraints)
+        g = self.graph
+        state = self.lcc.init_state()
+        global_init = True
+        itr = 0
+        while True:
+            state, not_finished = self._lcc_phase(state, global_init, itr, result)
+            global_init = False
+            if itr == 0:
+                not_finished = True  # forced token passing (beta.cpp:691-696)
+            if not_finished:
+                not_finished = False
+                tv = np.asarray(state.tv).copy()
+                alive = np.asarray(state.edge_alive).copy()
+                tp_flag = np.zeros(g.num_edges, dtype=bool)
+                for pl, c in enumerate(self.constraints):
+                    t0 = time.perf_counter()
+                    live = tv != 0
+                    acsr = AliveCsr.build(g, alive, live)
+                    if c.is_tds:
+                        out = run_tds(acsr, self.labels, tv, c, g.num_vertices)
+                        if out.subgraphs is not None and len(out.subgraphs):
+                            result.subgraphs.setdefault(pl, []).extend(
+                                map(tuple, out.subgraphs.tolist())
+                            )
+                        else:
+                            result.subgraphs.setdefault(pl, [])
+                    else:
+                        out = run_nem(acsr, self.labels, tv, c, g.num_vertices)
+                    if bool(out.validated.any()):
+                        result.pattern_found[pl] = True
+                    for v, p in out.edge_marks:
+                        e = self._edge_index(v, p)
+                        if e >= 0:
+                            tp_flag[e] = True
+                    deleted = invalidate_sources(tv, c, out)
+                    if deleted:
+                        not_finished = True
+                    live = tv != 0
+                    av = int(live.sum())
+                    ae = int((alive & live[g.edge_row]).sum())
+                    result.rows.append(
+                        PhaseRow(
+                            itr, "TP", pl, av, ae, out.messages,
+                            time.perf_counter() - t0,
+                        )
+                    )
+                    result.traversed_edges += out.messages
+                    if deleted and c.interleave_lcc:
+                        state = LccState(
+                            tv=jnp.asarray(tv),
+                            edge_alive=jnp.asarray(alive),
+                            tp_flag=jnp.asarray(tp_flag),
+                        )
+                        state, died = self._lcc_phase(state, False, itr, result)
+                        if died:
+                            not_finished = True
+                        tv = np.asarray(state.tv).copy()
+                        alive = np.asarray(state.edge_alive).copy()
+                        tp_flag = np.zeros(g.num_edges, dtype=bool)
+                state = LccState(
+                    tv=jnp.asarray(tv),
+                    edge_alive=jnp.asarray(alive),
+                    tp_flag=jnp.asarray(tp_flag),
+                )
+            itr += 1
+            if not not_finished or itr >= max_iterations:
+                break
+
+        result.iterations = itr
+        tv = np.asarray(state.tv)
+        alive = np.asarray(state.edge_alive)
+        live_idx = np.nonzero(tv)[0]
+        result.active_vertices = {int(v): int(tv[v]) for v in live_idx}
+        live = tv != 0
+        e_idx = np.nonzero(alive & live[g.edge_row])[0]
+        result.active_edges = {
+            (int(g.edge_row[e]), int(g.cols[e])) for e in e_idx
+        }
+        result.total_seconds = time.perf_counter() - t_start
+        return result

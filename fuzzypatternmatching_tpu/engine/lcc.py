@@ -1,0 +1,169 @@
+"""LCC — local constraint checking as dense JAX supersteps.
+
+This is the TPU-native re-expression of the reference's label-propagation
+kernel (label_propagation_pattern_matching_nonunique_ee.hpp:1033-1155, with
+the APM fuzzy acceptance of local_constraint_checking.hpp:1062-1113).
+
+The asynchronous visitor protocol becomes one bulk superstep over
+receiver-centric edge arrays:
+
+  * each directed edge e = (v, u) in v's CSR row is an inbox slot: the
+    message is the sender's candidate bitset ``tv[u]``, gated on the
+    sender-side edge-active flag of the *reverse* edge (replacing the
+    mailbox; visitor_queue.hpp:395-434),
+  * acceptance = "the sender's bits intersect the pattern adjacency of any
+    of my candidate bits" (the valid-parent scan, nonunique_ee.hpp:682-716),
+  * ``template_neighbors`` accumulation = a segment-OR over each row,
+    computed as 16 bit-plane segment-sums,
+  * the per-vertex constraint check and edge elimination
+    (verify_and_update_vertex_state, nonunique_ee.hpp:829-1027) are
+    elementwise uint16 bit math.
+
+State invariant: ``tv[v] != 0  <=>  v active  <=>  v in the vertex_state_map``
+(the reference maintains these as three separate structures and keeps them
+synchronized via delegate reductions; dense arrays make the invariant free).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..pattern.pattern_graph import PatternGraph
+
+
+@dataclass
+class LccState:
+    """Device-resident match state (one shard = whole graph, single chip)."""
+
+    tv: jax.Array  # uint32 [V] template_vertices bitsets
+    edge_alive: jax.Array  # bool [E]
+    tp_flag: jax.Array  # bool [E] token-passing success marks (nem_1.hpp:762-770)
+
+
+class LccEngine:
+    def __init__(self, graph: Graph, labels: np.ndarray, pattern: PatternGraph):
+        self.graph = graph
+        self.p = pattern
+        self.num_vertices = graph.num_vertices
+        self.col = jnp.asarray(graph.cols, dtype=jnp.int32)
+        self.erow = jnp.asarray(graph.edge_row, dtype=jnp.int32)
+        rev = graph.rev_edge
+        self.rev = jnp.asarray(np.where(rev < 0, 0, rev), dtype=jnp.int32)
+        self.rev_valid = jnp.asarray(rev >= 0)
+        self.k = pattern.vertex_count
+        self.adj_all = jnp.asarray(pattern.edges_bitset_all, dtype=jnp.uint32)
+        self.mand = jnp.asarray(pattern.edges_bitset, dtype=jnp.uint32)
+        self.opt = jnp.asarray(pattern.edges_bitset_optional, dtype=jnp.uint32)
+        self.opt_min = np.asarray(pattern.min_optional_edge_count)
+        self.label_tv = jnp.asarray(
+            pattern.label_match_bitset(np.asarray(labels)), dtype=jnp.uint32
+        )
+        self._step = jax.jit(partial(self._superstep), static_argnames=("init",))
+
+    # -- helpers -----------------------------------------------------------
+
+    def _or_over_bits(self, tv: jax.Array) -> jax.Array:
+        """OR of pattern adjacency bitsets over each vertex's candidate bits
+        — acceptance mask for incoming messages."""
+        m = jnp.zeros_like(tv)
+        for i in range(self.k):
+            has = (tv >> i) & 1
+            m = m | jnp.where(has != 0, self.adj_all[i], jnp.uint32(0))
+        return m
+
+    def _keep_mask(self, tn: jax.Array) -> jax.Array:
+        """Per-template-vertex acceptance (fuzzy rule,
+        local_constraint_checking.hpp:1062-1113) packed into a uint32 mask."""
+        keep = jnp.zeros_like(tn)
+        for i in range(self.k):
+            ok_mand = (self.mand[i] & ~tn) == 0
+            if self.opt_min[i] > 0:
+                t = self.opt[i] & tn
+                ok_opt = (t == self.opt[i]) & (
+                    jax.lax.population_count(t) >= jnp.uint32(self.opt_min[i])
+                )
+                ok = ok_mand & ok_opt
+            else:
+                ok = ok_mand
+            keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
+        return keep
+
+    # -- one superstep -----------------------------------------------------
+
+    def _superstep(self, tv, edge_alive, tp_flag, *, init: bool):
+        v = self.num_vertices
+        p_bits = tv[self.col]  # sender candidate bitsets per inbox slot
+        if init:
+            send_ok = p_bits != 0
+        else:
+            rev_alive = edge_alive[self.rev] & self.rev_valid
+            send_ok = (p_bits != 0) & rev_alive
+        p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
+
+        adj_mask = self._or_over_bits(tv)
+        accept = (p_bits & adj_mask[self.erow]) != 0
+        pa = jnp.where(accept, p_bits, jnp.uint32(0))
+
+        # segment-OR via bit planes: tn[v] = OR of accepted sender bitsets
+        planes = ((pa[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :]) & 1).astype(
+            jnp.int32
+        )
+        tn_planes = jax.ops.segment_sum(planes, self.erow, num_segments=v) > 0
+        weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
+        tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1)
+
+        in_map = tn != 0  # received at least one valid-parent message
+        new_tv = tv & self._keep_mask(tn)
+        if init:
+            new_tv = jnp.where(in_map, new_tv, jnp.uint32(0))
+            died_from_map = in_map & (new_tv == 0)
+        else:
+            died_from_map = (tv != 0) & (new_tv == 0)
+
+        row_live = new_tv[self.erow] != 0
+        if init:
+            new_alive = accept & row_live
+        else:
+            new_alive = edge_alive & (accept | tp_flag) & row_live
+
+        stats = (
+            jnp.sum(new_tv != 0),
+            jnp.sum(new_alive),
+            jnp.sum(send_ok),
+            jnp.any(died_from_map),
+        )
+        return new_tv, new_alive, jnp.zeros_like(tp_flag), stats
+
+    # -- public API --------------------------------------------------------
+
+    def init_state(self) -> LccState:
+        e = self.graph.num_edges
+        return LccState(
+            tv=jnp.zeros(self.num_vertices, dtype=jnp.uint32),
+            edge_alive=jnp.zeros(e, dtype=bool),
+            tp_flag=jnp.zeros(e, dtype=bool),
+        )
+
+    def lcc_call(
+        self, state: LccState, global_init_step: bool
+    ) -> tuple[LccState, list[tuple[int, int, int]], bool]:
+        """One label_propagation_pattern_matching_bsp call: ``diameter``
+        supersteps. Returns (state, per-superstep (av, ae, msgs), any_died)."""
+        tv, alive, flag = state.tv, state.edge_alive, state.tp_flag
+        rows = []
+        any_died = False
+        for s in range(self.p.diameter):
+            init = s == 0 and global_init_step
+            if init:
+                tv = self.label_tv  # all vertices start active (beta.cpp:491)
+            tv, alive, flag, stats = self._step(tv, alive, flag, init=init)
+            av, ae, msgs, died = (int(x) for x in stats)
+            rows.append((av, ae, msgs))
+            any_died = any_died or bool(died)
+        return LccState(tv, alive, flag), rows, any_died

@@ -1,0 +1,246 @@
+"""NLCC — non-local constraint checking as vectorized frontier supersteps.
+
+Re-expresses the reference's asynchronous token-passing visitors
+(token_passing_pattern_matching_nonunique_nem_1.hpp — path/cycle checks;
+..._tds_batch_1.hpp — template-driven search with walk history) as
+breadth-synchronous frontier expansion over the *pruned* adjacency (the
+dense mirror of ``vertex_active_edges_map``).
+
+Determinism: the reference forwards at most one token per (vertex, source)
+per constraint run, first-arrival-wins (nem_1.hpp:131-139, 270-286). Here
+the winner is defined as: earliest superstep, then smallest parent id.
+
+Token-source batching (the ``-x`` flag / max_ranks_per_itr machinery,
+tds_batch_1.hpp:1149-1303) becomes an outer loop over source chunks that
+bounds peak frontier memory without changing results (TDS has no dedup, so
+batches are independent; nem dedup is per-source, hence also
+batch-independent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..graph.csr import Graph
+from ..pattern.nonlocal_constraint import NonLocalConstraint
+
+
+@dataclass
+class AliveCsr:
+    """Pruned adjacency: only edges whose receiver-side slot is alive and
+    whose row vertex is still active."""
+
+    ptr: np.ndarray  # int64 [V+1]
+    col: np.ndarray  # int64 [A]
+
+    @classmethod
+    def build(cls, graph: Graph, edge_alive: np.ndarray, live: np.ndarray) -> "AliveCsr":
+        mask = edge_alive & live[graph.edge_row]
+        arow = graph.edge_row[mask]
+        acol = graph.cols[mask]
+        counts = np.bincount(arow, minlength=graph.num_vertices)
+        ptr = np.zeros(graph.num_vertices + 1, dtype=np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        return cls(ptr=ptr, col=acol.astype(np.int64))
+
+    def expand(self, vs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All alive neighbors of each vs[i]: returns (token_index, neighbor)
+        with one row per (i, nbr) pair."""
+        cnt = self.ptr[vs + 1] - self.ptr[vs]
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(vs), dtype=np.int64), cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        nbr = self.col[self.ptr[vs][rep] + offs]
+        return rep, nbr
+
+
+@dataclass
+class NlccOutcome:
+    sources: np.ndarray  # all token sources (the token_source_map keys)
+    validated: np.ndarray  # bool per source
+    messages: int
+    edge_marks: list  # (v, parent) pairs to flag (cycle success marks)
+    subgraphs: np.ndarray | None = None  # [N, walk_len+1] enumerated matches
+
+
+def token_sources(
+    c: NonLocalConstraint, labels: np.ndarray, tv: np.ndarray
+) -> np.ndarray:
+    """Qualifying token sources (nem_1.hpp:387-479; tds_batch_1.hpp:1067-1135).
+
+    Path-check (non-TDS) sources must hold both endpoint template bits."""
+    mask = (labels == c.labels[0]) & ((tv >> int(c.indices[0])) & 1).astype(bool)
+    if not c.is_tds and not c.valid_cycle and not c.selected_vertices:
+        mask &= ((tv >> int(c.indices[-1])) & 1).astype(bool)
+    return np.nonzero(mask)[0].astype(np.int64)
+
+
+def _arrival_ok(
+    cur: np.ndarray, labels: np.ndarray, tv: np.ndarray, c, h: int
+) -> np.ndarray:
+    return (labels[cur] == c.labels[h]) & (
+        (tv[cur] >> int(c.indices[h])) & 1
+    ).astype(bool)
+
+
+def run_nem(
+    acsr: AliveCsr,
+    labels: np.ndarray,
+    tv: np.ndarray,
+    c: NonLocalConstraint,
+    num_vertices: int,
+    batch_size: int = 1 << 22,
+) -> NlccOutcome:
+    """nem-style walk constraint: one pass of
+    token_passing_pattern_matching (nem_1.hpp:913-939)."""
+    if c.selected_vertices:
+        raise NotImplementedError("selected-vertices work aggregation")
+    sources = token_sources(c, labels, tv)
+    validated = np.zeros(len(sources), dtype=bool)
+    src_pos = {int(s): i for i, s in enumerate(sources)}
+    maxi = c.cycle_length
+    vv = np.int64(num_vertices)
+    messages = 0
+    edge_marks: list = []
+
+    for lo in range(0, max(len(sources), 1), batch_size):
+        batch = sources[lo : lo + batch_size]
+        if len(batch) == 0:
+            continue
+        forwarded = np.empty(0, dtype=np.int64)  # sorted (v*V + src) keys
+        rep, nbr = acsr.expand(batch)
+        cur, src, parent = nbr, batch[rep], batch[rep]
+        for h in range(1, maxi + 2):
+            messages += len(cur)
+            if len(cur) == 0:
+                break
+            ok = _arrival_ok(cur, labels, tv, c, h)
+            if h == maxi + 1:
+                if not c.valid_cycle:
+                    acc = ok & (cur != src)
+                else:
+                    acc = ok & (cur == src)
+                    for v, p in zip(cur[acc], parent[acc]):
+                        edge_marks.append((int(v), int(p)))
+                for s in np.unique(src[acc]):
+                    validated[src_pos[int(s)]] = True
+                break
+            ok &= cur != src  # the target cannot relay (nem_1.hpp:173-177)
+            keys = cur * vv + src
+            ok &= ~np.isin(keys, forwarded, assume_unique=False)
+            k_ok, p_ok = keys[ok], parent[ok]
+            cur_ok, src_ok = cur[ok], src[ok]
+            # winner per (v, src): smallest parent id
+            order = np.lexsort((p_ok, k_ok))
+            k_sorted = k_ok[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = k_sorted[1:] != k_sorted[:-1]
+            sel = order[first]
+            forwarded = np.union1d(forwarded, k_sorted[first])
+            v_sel, s_sel, p_sel = cur_ok[sel], src_ok[sel], p_ok[sel]
+            rep, nbr = acsr.expand(v_sel)
+            keep = nbr != p_sel[rep]  # don't return to the received-from parent
+            cur = nbr[keep]
+            src = s_sel[rep][keep]
+            parent = v_sel[rep][keep]
+    return NlccOutcome(sources, validated, messages, edge_marks)
+
+
+def run_tds(
+    acsr: AliveCsr,
+    labels: np.ndarray,
+    tv: np.ndarray,
+    c: NonLocalConstraint,
+    num_vertices: int,
+    source_batch: int = 1 << 16,
+    collect_subgraphs: bool = True,
+) -> NlccOutcome:
+    """TDS enumeration walk with full history
+    (tds_batch_1.hpp:560-930, 1149-1303)."""
+    sources = token_sources(c, labels, tv)
+    validated = np.zeros(len(sources), dtype=bool)
+    src_pos = {int(s): i for i, s in enumerate(sources)}
+    maxi = c.cycle_length
+    enum = c.enumeration
+    messages = 0
+    sub_parts: list[np.ndarray] = []
+
+    for lo in range(0, max(len(sources), 1), source_batch):
+        batch = sources[lo : lo + source_batch]
+        if len(batch) == 0:
+            continue
+        rep, nbr = acsr.expand(batch)
+        cur, src = nbr, batch[rep]
+        visited = batch[rep][:, None]  # positions 0..h-1 per token
+        for h in range(1, maxi + 2):
+            messages += len(cur)
+            if len(cur) == 0:
+                break
+            ok = _arrival_ok(cur, labels, tv, c, h)
+            if h == maxi + 1:
+                if not c.valid_cycle:
+                    acc = ok & (cur != src)
+                else:
+                    acc = ok & (cur == src) & (visited[:, 0] == cur)
+                for s in np.unique(src[acc]):
+                    validated[src_pos[int(s)]] = True
+                if collect_subgraphs and np.any(acc):
+                    sub_parts.append(
+                        np.hstack(
+                            [visited[acc], cur[acc, None], cur[acc, None]]
+                        )
+                    )
+                break
+            # receiver-side enumeration rule for position h
+            # (tds_batch_1.hpp:620-639)
+            k = int(enum[h])
+            if k == h:
+                ok &= ~np.any(visited == cur[:, None], axis=1)
+            elif k < h:
+                ok &= visited[:, k] == cur
+            else:
+                ok &= False
+            cur, src, visited = cur[ok], src[ok], visited[ok]
+            visited2 = np.hstack([visited, cur[:, None]])
+            rep, nbr = acsr.expand(cur)
+            src_r, vis_r = src[rep], visited2[rep]
+            if h == maxi:
+                # penultimate hop (tds_batch_1.hpp:806-846)
+                if c.valid_cycle:
+                    keep = nbr == src_r  # cycle closes on the source; no enum
+                    cur, src, visited = nbr[keep], src_r[keep], vis_r[keep]
+                    continue
+                keep = nbr != src_r
+            else:
+                keep = np.ones(len(nbr), dtype=bool)
+            k2 = int(enum[h + 1])
+            if k2 == h + 1:
+                keep &= ~np.any(vis_r == nbr[:, None], axis=1)
+            elif k2 < h + 1:
+                keep &= vis_r[:, k2] == nbr
+            else:
+                keep &= False
+            cur, src, visited = nbr[keep], src_r[keep], vis_r[keep]
+
+    subgraphs = (
+        np.vstack(sub_parts)
+        if sub_parts
+        else np.empty((0, maxi + 3), dtype=np.int64)
+    )
+    return NlccOutcome(sources, validated, messages, [], subgraphs)
+
+
+def invalidate_sources(
+    tv: np.ndarray, c: NonLocalConstraint, outcome: NlccOutcome
+) -> bool:
+    """Reset the source template-vertex bit of failed sources, in place
+    (run_pattern_matching_beta.cpp:964-1016). Returns token_source_deleted."""
+    failed = outcome.sources[~outcome.validated]
+    failed = failed[tv[failed] != 0]
+    if len(failed) == 0:
+        return False
+    bit = int(c.indices[-1] if c.selected_vertices else c.indices[0])
+    tv[failed] &= np.uint32(~np.uint32(1 << bit))
+    return True

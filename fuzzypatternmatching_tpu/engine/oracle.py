@@ -31,33 +31,9 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..graph.csr import Graph
+from .result import MatchResult, PhaseRow
 from ..pattern.nonlocal_constraint import NonLocalConstraint
 from ..pattern.pattern_graph import PatternGraph
-
-
-@dataclass
-class PhaseRow:
-    itr: int
-    phase: str  # "LP" or "TP"
-    step: int  # superstep (LP) or constraint index pl (TP)
-    active_vertices: int
-    active_edges: int
-    messages: int
-
-
-@dataclass
-class MatchResult:
-    rows: list[PhaseRow] = field(default_factory=list)
-    iterations: int = 0
-    pattern_found: list[bool] = field(default_factory=list)
-    subgraphs: dict[int, list[tuple]] = field(default_factory=dict)
-    active_vertices: dict[int, int] = field(default_factory=dict)  # v -> tv bits
-    active_edges: set = field(default_factory=set)  # (v, nbr) pairs
-
-    def lp_trace(self) -> list[tuple[int, int, int]]:
-        return [
-            (r.itr, r.step, r.active_vertices) for r in self.rows if r.phase == "LP"
-        ]
 
 
 class MatchOracle:
