@@ -1,0 +1,54 @@
+"""Generate an R-MAT graph DB — the src/generate_rmat.cpp driver.
+
+Usage:
+  python -m fuzzypatternmatching_tpu.cli.generate_rmat -s 21 -o /path/db \\
+      [-p 4] [-d 16] [--no-scramble] [-b backup_dir]
+
+Flags mirror generate_rmat.cpp:93-150 (-s scale, -o output, -p partitions,
+-b backup via transfer; -d edges/vertex instead of hardcoded 16).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from ..generators.rmat import rmat_all_ranks
+from ..graph import storage
+from ..graph.csr import from_edges
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="R-MAT graph generator")
+    ap.add_argument("-s", "--scale", type=int, required=True)
+    ap.add_argument("-o", "--output", required=True, help="graph DB directory")
+    ap.add_argument("-p", "--partitions", type=int, default=4,
+                    help="generator ranks AND storage shards")
+    ap.add_argument("-d", "--edges-per-vertex", type=int, default=16)
+    ap.add_argument("--no-scramble", action="store_true")
+    ap.add_argument("-b", "--backup", default=None)
+    args = ap.parse_args(argv)
+
+    t0 = time.time()
+    src, dst = rmat_all_ranks(
+        scale=args.scale,
+        n_ranks=args.partitions,
+        edges_per_vertex=args.edges_per_vertex,
+        scramble=not args.no_scramble,
+    )
+    print(f"generated {src.size} directed edge entries in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    g = from_edges(src, dst, num_vertices=1 << args.scale)
+    print(
+        f"built CSR: V={g.num_vertices} E={g.num_edges} "
+        f"max_degree={int(g.raw_degree.max())} in {time.time()-t0:.1f}s"
+    )
+    storage.save(g, args.output, num_shards=args.partitions)
+    print(f"saved graph DB to {args.output}")
+    if args.backup:
+        storage.transfer(args.output, args.backup)
+        print(f"transferred to backup {args.backup}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Ingest edge-list files into a graph DB — the src/ingest_edge_list.cpp driver.
+
+Usage:
+  python -m fuzzypatternmatching_tpu.cli.ingest_edge_list -o /path/db \\
+      [-u] [-p 4] file1 file2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..generators.edge_list import read_edge_lists
+from ..graph import storage
+from ..graph.csr import from_edges
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="edge list ingest")
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-u", "--undirected", action="store_true",
+                    help="emit both directions of each entry")
+    ap.add_argument("-p", "--partitions", type=int, default=4)
+    ap.add_argument("files", nargs="+")
+    args = ap.parse_args(argv)
+
+    src, dst, edge_data = read_edge_lists(args.files, undirected=args.undirected)
+    g = from_edges(src, dst)
+    print(f"built CSR: V={g.num_vertices} E={g.num_edges}")
+    storage.save(g, args.output, num_shards=args.partitions)
+    print(f"saved graph DB to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Fuzzy pattern matching search driver — run_pattern_matching_beta.cpp.
+
+Usage (flags mirror beta.cpp:82-142):
+  python -m fuzzypatternmatching_tpu.cli.run_pattern_matching \\
+      -i <graph_db> -p <pattern_dir> -o <result_dir> \\
+      [-v <vertex_data_base>] [-r <output_ranks>] [--max-iterations N]
+
+``pattern_dir`` contains numbered subdirectories (the "pattern set"); like
+the reference, only ``<pattern_dir>/0`` is searched by default
+(beta.cpp:424); pass --pattern-set to run more.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..engine.driver import MatchEngine
+from ..graph import storage
+from ..io.labels import resolve_labels
+from ..io.results import write_results
+from ..pattern.nonlocal_constraint import load_nonlocal_constraints
+from ..pattern.pattern_graph import load_pattern_graph
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="fuzzy pattern matching")
+    ap.add_argument("-i", "--input", required=True, help="graph DB directory")
+    ap.add_argument("-p", "--pattern-dir", required=True)
+    ap.add_argument("-o", "--output", required=True, help="result directory")
+    ap.add_argument("-v", "--vertex-data", default=None,
+                    help="vertex label file base (default: degree labels)")
+    ap.add_argument("-b", "--backup", default=None,
+                    help="restore the graph DB from this backup first")
+    ap.add_argument("-r", "--ranks", type=int, default=None,
+                    help="output ranks (default: graph DB shard count)")
+    ap.add_argument("-x", "--batch", type=int, default=1 << 16,
+                    help="token-source batch size (TDS)")
+    ap.add_argument("--pattern-set", type=int, default=1,
+                    help="number of pattern subdirectories to search")
+    ap.add_argument("--max-iterations", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    if args.backup:
+        storage.transfer(args.backup, args.input)
+    graph, stored_labels, _ = storage.load(args.input)
+    print(f"opened graph DB: V={graph.num_vertices} E={graph.num_edges}")
+    labels = resolve_labels(graph, args.vertex_data, stored_labels)
+    if args.vertex_data is None and stored_labels is None:
+        print("using degree labels ceil(log2(d+1))")
+
+    num_ranks = args.ranks
+    if num_ranks is None:
+        import json
+
+        with open(os.path.join(args.input, "meta.json")) as f:
+            num_ranks = json.load(f)["num_shards"]
+
+    pattern_set_path = os.path.join(args.output, "result_pattern_set")
+    os.makedirs(args.output, exist_ok=True)
+    if os.path.exists(pattern_set_path):
+        os.remove(pattern_set_path)
+
+    for ps in range(args.pattern_set):
+        prefix = os.path.join(args.pattern_dir, str(ps), "pattern")
+        pattern = load_pattern_graph(prefix)
+        constraints = load_nonlocal_constraints(prefix, pattern.vertex_data)
+        print(
+            f"pattern [{ps}]: K={pattern.vertex_count} "
+            f"diameter={pattern.diameter} constraints={len(constraints)}"
+        )
+        t0 = time.time()
+        engine = MatchEngine(graph, labels, pattern, constraints, num_ranks=num_ranks)
+        result = engine.run(max_iterations=args.max_iterations)
+        print(
+            f"pattern [{ps}]: iterations={result.iterations} "
+            f"time={time.time()-t0:.2f}s "
+            f"active_vertices={len(result.active_vertices)} "
+            f"active_edges={len(result.active_edges)} "
+            f"found={result.pattern_found}"
+        )
+        for pl, subs in sorted(result.subgraphs.items()):
+            print(f"  constraint [{pl}]: {len(subs)} enumerated subgraphs")
+        write_results(
+            args.output,
+            ps,
+            result,
+            labels,
+            num_ranks,
+            pattern.edge_count,
+            pattern.vertex_count,
+            len(constraints),
+        )
+    print(f"results written to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

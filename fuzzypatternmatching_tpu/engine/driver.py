@@ -30,12 +30,14 @@ class MatchEngine:
         labels: np.ndarray,
         pattern: PatternGraph,
         constraints: list[NonLocalConstraint],
+        num_ranks: int = 1,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
         self.pattern = pattern
         self.constraints = constraints
-        self.lcc = LccEngine(graph, self.labels, pattern)
+        self.num_ranks = num_ranks
+        self.lcc = LccEngine(graph, self.labels, pattern, num_ranks=num_ranks)
         # sorted (row*V + col) keys for O(log E) edge-slot lookup
         self._edge_keys = graph.edge_row.astype(np.uint64) * np.uint64(
             graph.num_vertices
@@ -54,8 +56,8 @@ class MatchEngine:
         t0 = time.perf_counter()
         state, rows, died = self.lcc.lcc_call(state, global_init)
         dt = (time.perf_counter() - t0) / max(len(rows), 1)
-        for s, (av, ae, msgs) in enumerate(rows):
-            result.rows.append(PhaseRow(itr, "LP", s, av, ae, msgs, dt))
+        for s, (av, ae, msgs, per_rank) in enumerate(rows):
+            result.rows.append(PhaseRow(itr, "LP", s, av, ae, msgs, dt, per_rank))
             result.traversed_edges += msgs
         return state, died
 
@@ -82,7 +84,10 @@ class MatchEngine:
                     live = tv != 0
                     acsr = AliveCsr.build(g, alive, live)
                     if c.is_tds:
-                        out = run_tds(acsr, self.labels, tv, c, g.num_vertices)
+                        out = run_tds(
+                            acsr, self.labels, tv, c, g.num_vertices,
+                            num_ranks=self.num_ranks,
+                        )
                         if out.subgraphs is not None and len(out.subgraphs):
                             result.subgraphs.setdefault(pl, []).extend(
                                 map(tuple, out.subgraphs.tolist())
@@ -90,7 +95,10 @@ class MatchEngine:
                         else:
                             result.subgraphs.setdefault(pl, [])
                     else:
-                        out = run_nem(acsr, self.labels, tv, c, g.num_vertices)
+                        out = run_nem(
+                            acsr, self.labels, tv, c, g.num_vertices,
+                            num_ranks=self.num_ranks,
+                        )
                     if bool(out.validated.any()):
                         result.pattern_found[pl] = True
                     for v, p in out.edge_marks:
@@ -103,10 +111,23 @@ class MatchEngine:
                     live = tv != 0
                     av = int(live.sum())
                     ae = int((alive & live[g.edge_row]).sum())
+                    owner = np.arange(g.num_vertices, dtype=np.int64) % self.num_ranks
+                    per_rank = {
+                        "av": np.bincount(
+                            owner[live], minlength=self.num_ranks
+                        ),
+                        "ae": np.bincount(
+                            owner[g.edge_row[np.nonzero(alive & live[g.edge_row])[0]]],
+                            minlength=self.num_ranks,
+                        ),
+                        "msg": out.msg_per_rank
+                        if out.msg_per_rank is not None
+                        else np.zeros(self.num_ranks, dtype=np.int64),
+                    }
                     result.rows.append(
                         PhaseRow(
                             itr, "TP", pl, av, ae, out.messages,
-                            time.perf_counter() - t0,
+                            time.perf_counter() - t0, per_rank,
                         )
                     )
                     result.traversed_edges += out.messages

@@ -47,10 +47,23 @@ class LccState:
 
 
 class LccEngine:
-    def __init__(self, graph: Graph, labels: np.ndarray, pattern: PatternGraph):
+    def __init__(
+        self,
+        graph: Graph,
+        labels: np.ndarray,
+        pattern: PatternGraph,
+        num_ranks: int = 1,
+    ):
         self.graph = graph
         self.p = pattern
         self.num_vertices = graph.num_vertices
+        # output-rank attribution: cyclic owner like the reference's
+        # non-delegate partitioning (impl/delegate_partitioned_graph.ipp:366)
+        self.num_ranks = num_ranks
+        self.owner = jnp.asarray(
+            np.arange(graph.num_vertices, dtype=np.int64) % num_ranks,
+            dtype=jnp.int32,
+        )
         self.col = jnp.asarray(graph.cols, dtype=jnp.int32)
         self.erow = jnp.asarray(graph.edge_row, dtype=jnp.int32)
         rev = graph.rev_edge
@@ -132,12 +145,17 @@ class LccEngine:
         else:
             new_alive = edge_alive & (accept | tp_flag) & row_live
 
-        stats = (
-            jnp.sum(new_tv != 0),
-            jnp.sum(new_alive),
-            jnp.sum(send_ok),
-            jnp.any(died_from_map),
+        eowner = self.owner[self.erow]
+        av_r = jax.ops.segment_sum(
+            (new_tv != 0).astype(jnp.int32), self.owner, num_segments=self.num_ranks
         )
+        ae_r = jax.ops.segment_sum(
+            new_alive.astype(jnp.int32), eowner, num_segments=self.num_ranks
+        )
+        msg_r = jax.ops.segment_sum(
+            send_ok.astype(jnp.int32), eowner, num_segments=self.num_ranks
+        )
+        stats = (av_r, ae_r, msg_r, jnp.any(died_from_map))
         return new_tv, new_alive, jnp.zeros_like(tp_flag), stats
 
     # -- public API --------------------------------------------------------
@@ -152,9 +170,10 @@ class LccEngine:
 
     def lcc_call(
         self, state: LccState, global_init_step: bool
-    ) -> tuple[LccState, list[tuple[int, int, int]], bool]:
+    ) -> tuple[LccState, list[tuple], bool]:
         """One label_propagation_pattern_matching_bsp call: ``diameter``
-        supersteps. Returns (state, per-superstep (av, ae, msgs), any_died)."""
+        supersteps. Returns (state, per-superstep
+        (av, ae, msgs, per_rank_dict), any_died)."""
         tv, alive, flag = state.tv, state.edge_alive, state.tp_flag
         rows = []
         any_died = False
@@ -163,7 +182,17 @@ class LccEngine:
             if init:
                 tv = self.label_tv  # all vertices start active (beta.cpp:491)
             tv, alive, flag, stats = self._step(tv, alive, flag, init=init)
-            av, ae, msgs, died = (int(x) for x in stats)
-            rows.append((av, ae, msgs))
+            av_r, ae_r, msg_r, died = stats
+            av_r = np.asarray(av_r)
+            ae_r = np.asarray(ae_r)
+            msg_r = np.asarray(msg_r)
+            rows.append(
+                (
+                    int(av_r.sum()),
+                    int(ae_r.sum()),
+                    int(msg_r.sum()),
+                    {"av": av_r, "ae": ae_r, "msg": msg_r},
+                )
+            )
             any_died = any_died or bool(died)
         return LccState(tv, alive, flag), rows, any_died

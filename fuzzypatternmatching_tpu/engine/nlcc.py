@@ -63,6 +63,7 @@ class NlccOutcome:
     messages: int
     edge_marks: list  # (v, parent) pairs to flag (cycle success marks)
     subgraphs: np.ndarray | None = None  # [N, walk_len+1] enumerated matches
+    msg_per_rank: np.ndarray | None = None  # arrival counts by receiver owner
 
 
 def token_sources(
@@ -92,6 +93,7 @@ def run_nem(
     c: NonLocalConstraint,
     num_vertices: int,
     batch_size: int = 1 << 22,
+    num_ranks: int = 1,
 ) -> NlccOutcome:
     """nem-style walk constraint: one pass of
     token_passing_pattern_matching (nem_1.hpp:913-939)."""
@@ -103,6 +105,7 @@ def run_nem(
     maxi = c.cycle_length
     vv = np.int64(num_vertices)
     messages = 0
+    msg_r = np.zeros(num_ranks, dtype=np.int64)
     edge_marks: list = []
 
     for lo in range(0, max(len(sources), 1), batch_size):
@@ -116,6 +119,7 @@ def run_nem(
             messages += len(cur)
             if len(cur) == 0:
                 break
+            msg_r += np.bincount(cur % num_ranks, minlength=num_ranks)
             ok = _arrival_ok(cur, labels, tv, c, h)
             if h == maxi + 1:
                 if not c.valid_cycle:
@@ -145,7 +149,7 @@ def run_nem(
             cur = nbr[keep]
             src = s_sel[rep][keep]
             parent = v_sel[rep][keep]
-    return NlccOutcome(sources, validated, messages, edge_marks)
+    return NlccOutcome(sources, validated, messages, edge_marks, None, msg_r)
 
 
 def run_tds(
@@ -156,6 +160,7 @@ def run_tds(
     num_vertices: int,
     source_batch: int = 1 << 16,
     collect_subgraphs: bool = True,
+    num_ranks: int = 1,
 ) -> NlccOutcome:
     """TDS enumeration walk with full history
     (tds_batch_1.hpp:560-930, 1149-1303)."""
@@ -165,6 +170,7 @@ def run_tds(
     maxi = c.cycle_length
     enum = c.enumeration
     messages = 0
+    msg_r = np.zeros(num_ranks, dtype=np.int64)
     sub_parts: list[np.ndarray] = []
 
     for lo in range(0, max(len(sources), 1), source_batch):
@@ -178,6 +184,7 @@ def run_tds(
             messages += len(cur)
             if len(cur) == 0:
                 break
+            msg_r += np.bincount(cur % num_ranks, minlength=num_ranks)
             ok = _arrival_ok(cur, labels, tv, c, h)
             if h == maxi + 1:
                 if not c.valid_cycle:
@@ -229,7 +236,7 @@ def run_tds(
         if sub_parts
         else np.empty((0, maxi + 3), dtype=np.int64)
     )
-    return NlccOutcome(sources, validated, messages, [], subgraphs)
+    return NlccOutcome(sources, validated, messages, [], subgraphs, msg_r)
 
 
 def invalidate_sources(

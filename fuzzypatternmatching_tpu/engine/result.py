@@ -17,6 +17,10 @@ class PhaseRow:
     active_edges: int
     messages: int
     seconds: float = 0.0
+    # optional per-output-rank attribution (cyclic owner = v % num_ranks,
+    # matching the reference's non-delegate owner rule, impl ipp:366):
+    # arrays of length num_ranks for "av", "ae", "msg"
+    per_rank: dict | None = None
 
 
 @dataclass
