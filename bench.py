@@ -1,0 +1,125 @@
+"""Benchmark: traversed edges/sec/chip on the reference workload.
+
+Workload (BASELINE.md): R-MAT scale-21 (scrambled, undirected, 4-rank
+stream), degree labels, the rmat_log2_tree pattern corpus — the full
+LCC+NLCC prune-to-fixpoint search including TDS enumeration.
+
+Metric: total traversed edges (LCC messages + NLCC token hops) divided by
+end-to-end search seconds, on one chip. The reference publishes no numbers
+(BASELINE.md) and its MPI build is unavailable in this image, so
+``vs_baseline`` is the speedup over the first recorded run of this bench
+(committed in BENCH_BASELINE.json) — a self-referential baseline until a
+true 4-rank MPI measurement exists.
+
+Prints exactly one JSON line.
+
+Env knobs: BENCH_SCALE (default 21), BENCH_FRESH=1 to ignore the graph cache.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CACHE = os.path.join(REPO, ".bench_cache")
+BASELINE_FILE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_or_load_graph(scale: int):
+    from fuzzypatternmatching_tpu.graph import storage
+    from fuzzypatternmatching_tpu.graph.csr import degree_labels, from_edges
+    from fuzzypatternmatching_tpu.generators.rmat import rmat_all_ranks
+
+    base = os.path.join(CACHE, f"rmat_s{scale}")
+    if os.path.exists(os.path.join(base, "meta.json")) and not os.environ.get(
+        "BENCH_FRESH"
+    ):
+        log(f"loading cached graph {base}")
+        g, labels, _ = storage.load(base)
+        return g, labels
+    t0 = time.time()
+    log(f"generating R-MAT s{scale} (4-rank stream, scrambled)...")
+    src, dst = rmat_all_ranks(scale=scale, n_ranks=4)
+    log(f"  {src.size} directed entries in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    g = from_edges(src, dst, num_vertices=1 << scale)
+    labels = degree_labels(g)
+    log(
+        f"  CSR: V={g.num_vertices} E={g.num_edges} "
+        f"max_deg={int(g.raw_degree.max())} in {time.time()-t0:.0f}s"
+    )
+    storage.save(g, base, num_shards=4, labels=labels)
+    return g, labels
+
+
+def main():
+    scale = int(os.environ.get("BENCH_SCALE", "21"))
+    g, labels = build_or_load_graph(scale)
+
+    from fuzzypatternmatching_tpu.engine.driver import MatchEngine
+    from fuzzypatternmatching_tpu.pattern.builtin import load_tree_pattern
+
+    pattern, constraints = load_tree_pattern(tempfile.mkdtemp())
+    engine = MatchEngine(g, labels, pattern, constraints)
+
+    log("warm-up run (compile)...")
+    t0 = time.time()
+    r = engine.run()
+    log(
+        f"  warm-up: {time.time()-t0:.1f}s, iterations={r.iterations}, "
+        f"traversed={r.traversed_edges}, active={len(r.active_vertices)}, "
+        f"subgraphs={sum(len(v) for v in r.subgraphs.values())}"
+    )
+    log("measured run...")
+    t0 = time.time()
+    r = engine.run()
+    dt = time.time() - t0
+    edges_per_sec = r.traversed_edges / dt
+    log(
+        f"  measured: {dt:.2f}s, traversed={r.traversed_edges}, "
+        f"{edges_per_sec/1e6:.1f}M edges/s/chip"
+    )
+
+    vs_baseline = 1.0
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("scale") == scale and base.get("edges_per_sec", 0) > 0:
+            vs_baseline = edges_per_sec / base["edges_per_sec"]
+    else:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "scale": scale,
+                    "edges_per_sec": edges_per_sec,
+                    "note": "first recorded run (round 1); vs_baseline is "
+                    "relative to this until a true MPI baseline exists",
+                },
+                f,
+                indent=1,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"traversed edges/sec/chip (LCC+NLCC, R-MAT s{scale} tree pattern)",
+                "value": round(edges_per_sec, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Classic-algorithm drivers (the reference's src/run_bfs.cpp, run_cc.cpp,
+run_page_rank.cpp, run_kth_core.cpp, run_triangle_count.cpp).
+
+Usage:
+  python -m fuzzypatternmatching_tpu.cli.run_algorithms bfs -i <db> -s 0
+  python -m fuzzypatternmatching_tpu.cli.run_algorithms cc -i <db>
+  python -m fuzzypatternmatching_tpu.cli.run_algorithms pagerank -i <db>
+  python -m fuzzypatternmatching_tpu.cli.run_algorithms kcore -i <db> -k 2
+  python -m fuzzypatternmatching_tpu.cli.run_algorithms sssp -i <db> -s 0
+  python -m fuzzypatternmatching_tpu.cli.run_algorithms triangles -i <db>
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from ..algorithms import frontier
+from ..graph import storage
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="classic graph algorithms")
+    ap.add_argument("algo", choices=["bfs", "cc", "pagerank", "kcore", "sssp", "triangles"])
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-s", "--source", type=int, default=0)
+    ap.add_argument("-k", type=int, default=2)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--iterations", type=int, default=20)
+    ap.add_argument("-o", "--output", default=None, help="write results here")
+    args = ap.parse_args(argv)
+
+    g, _, edge_data = storage.load(args.input)
+    print(f"opened graph: V={g.num_vertices} E={g.num_edges}")
+    t0 = time.time()
+    out = None
+    if args.algo == "bfs":
+        level, parent = frontier.breadth_first_search(g, args.source)
+        reached = int(np.sum(level < 2**31 - 1))
+        print(f"bfs from {args.source}: visited {reached} vertices, "
+              f"max level {int(level[level < 2**31 - 1].max())}")
+        out = np.stack([level, parent], axis=1)
+    elif args.algo == "cc":
+        comp = frontier.connected_components(g)
+        print(f"components: {len(np.unique(comp))}")
+        out = comp
+    elif args.algo == "pagerank":
+        pr = frontier.pagerank(g, args.damping, args.iterations)
+        top = np.argsort(pr)[-5:][::-1]
+        print("top-5 pagerank:", [(int(v), float(pr[v])) for v in top])
+        out = pr
+    elif args.algo == "kcore":
+        alive = frontier.kth_core(g, args.k)
+        print(f"{args.k}-core size: {int(alive.sum())}")
+        out = alive
+    elif args.algo == "sssp":
+        w = edge_data.astype(np.float64) if edge_data is not None else np.ones(g.num_edges)
+        dist = frontier.sssp(g, args.source, w)
+        print(f"sssp from {args.source}: reached {int(np.isfinite(dist).sum())}")
+        out = dist
+    elif args.algo == "triangles":
+        print(f"triangles: {frontier.triangle_count(g)}")
+    print(f"time: {time.time()-t0:.2f}s")
+    if args.output is not None and out is not None:
+        np.save(args.output, out)
+        print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -125,9 +125,9 @@ class LccEngine:
 
         # segment-OR via bit planes: tn[v] = OR of accepted sender bitsets
         planes = ((pa[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :]) & 1).astype(
-            jnp.int32
+            jnp.uint8
         )
-        tn_planes = jax.ops.segment_sum(planes, self.erow, num_segments=v) > 0
+        tn_planes = jax.ops.segment_max(planes, self.erow, num_segments=v) > 0
         weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
         tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1)
 

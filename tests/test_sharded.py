@@ -1,0 +1,73 @@
+"""Sharded LCC on an 8-device virtual CPU mesh must match the single-device
+engine superstep-for-superstep."""
+
+import jax
+import numpy as np
+import pytest
+
+from fuzzypatternmatching_tpu.engine.lcc import LccEngine
+from fuzzypatternmatching_tpu.generators.rmat import RmatParams, generate_edges
+from fuzzypatternmatching_tpu.graph.csr import degree_labels, from_edges, grid_graph
+from fuzzypatternmatching_tpu.parallel.sharded import ShardedLccEngine
+from fuzzypatternmatching_tpu.pattern.pattern_graph import load_pattern_graph
+
+from test_pattern import write_tree_pattern
+
+
+@pytest.fixture(scope="module")
+def tree_pattern(tmp_path_factory):
+    return load_pattern_graph(write_tree_pattern(tmp_path_factory.mktemp("pat")))
+
+
+def _rmat_graph(scale):
+    parts = [
+        generate_edges(
+            RmatParams(seed=5489 + 3 * r, vertex_scale=scale,
+                       edge_count=(16 << scale) // 4, scramble=False)
+        )
+        for r in range(4)
+    ]
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    return from_edges(src, dst, num_vertices=1 << scale)
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_matches_single_device(ndev, tree_pattern):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    g = _rmat_graph(11)
+    labels = degree_labels(g)
+    single = LccEngine(g, labels, tree_pattern)
+    sharded = ShardedLccEngine(g, labels, tree_pattern, num_devices=ndev)
+
+    st1, rows1, died1 = single.lcc_call(single.init_state(), True)
+    st2, rows2, died2 = sharded.lcc_call(sharded.init_state(), True)
+    assert [r[:3] for r in rows1] == [r[:3] for r in rows2]
+    assert died1 == died2
+
+    tv1 = np.asarray(st1.tv)
+    alive1 = np.asarray(st1.edge_alive)
+    tv2, alive2 = sharded.state_to_global(st2)
+    assert np.array_equal(tv1, tv2)
+    assert np.array_equal(alive1, alive2)
+
+    # continue from repacked state: second call (non-init) also matches
+    st1b, rows1b, _ = single.lcc_call(st1, False)
+    st2b, rows2b, _ = sharded.lcc_call(
+        sharded.state_from_global(tv1, alive1, np.zeros(g.num_edges, bool)), False
+    )
+    assert [r[:3] for r in rows1b] == [r[:3] for r in rows2b]
+    tv2b, alive2b = sharded.state_to_global(st2b)
+    assert np.array_equal(np.asarray(st1b.tv), tv2b)
+    assert np.array_equal(np.asarray(st1b.edge_alive), alive2b)
+
+
+def test_sharded_grid(tree_pattern):
+    src, dst = grid_graph(8, 8)
+    g = from_edges(src, dst)
+    labels = degree_labels(g)
+    single = LccEngine(g, labels, tree_pattern)
+    sharded = ShardedLccEngine(g, labels, tree_pattern, num_devices=8)
+    _, rows1, _ = single.lcc_call(single.init_state(), True)
+    _, rows2, _ = sharded.lcc_call(sharded.init_state(), True)
+    assert [r[:3] for r in rows1] == [r[:3] for r in rows2]
