@@ -126,12 +126,26 @@ def rmat_all_ranks(
     scramble: bool = True,
     undirected: bool = True,
     base_seed: int = 5489,
+    use_native: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """The full multi-rank stream of generate_rmat.cpp:202-205.
 
     edges/rank = ``edges_per_vertex * 2**scale / n_ranks``; rank r seeds with
-    ``base_seed + 3*r``. Returns concatenated (src, dst).
+    ``base_seed + 3*r``. Returns concatenated (src, dst). Uses the native
+    C++ generator when available (bit-identical stream).
     """
+    if use_native:
+        from .. import native
+
+        if native.available():
+            return native.rmat_all_ranks_native(
+                scale=scale,
+                n_ranks=n_ranks,
+                edges_per_vertex=edges_per_vertex,
+                scramble=scramble,
+                undirected=undirected,
+                base_seed=base_seed,
+            )
     per_rank = (edges_per_vertex << scale) // n_ranks
     parts = [
         generate_edges(

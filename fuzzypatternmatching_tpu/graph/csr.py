@@ -52,19 +52,40 @@ class Graph:
 
 
 def from_edges(
-    src: np.ndarray, dst: np.ndarray, num_vertices: int | None = None
+    src: np.ndarray, dst: np.ndarray, num_vertices: int | None = None,
+    use_native: bool = True,
 ) -> Graph:
     """Build a Graph from a directed edge stream (duplicates allowed).
 
     For undirected graphs the stream must already contain both directions
     (the generators and the ingest path emit them — matching the reference's
-    symmetrized streams, rmat_edge_generator.hpp:127-138).
+    symmetrized streams, rmat_edge_generator.hpp:127-138). Uses the native
+    C++ builder when available; the NumPy path is bit-identical.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     if num_vertices is None:
         num_vertices = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
     v = num_vertices
+
+    if use_native and src.size > 0:
+        from .. import native
+
+        if native.available():
+            row_ptr, cols, rev, raw_degree = native.build_csr_native(
+                src, dst, v
+            )
+            edge_row = np.repeat(
+                np.arange(v, dtype=np.int64), np.diff(row_ptr)
+            )
+            return Graph(
+                num_vertices=v,
+                row_ptr=row_ptr,
+                cols=cols,
+                rev_edge=rev,
+                raw_degree=raw_degree,
+                edge_row=edge_row,
+            )
 
     raw_degree = np.bincount(src, minlength=v).astype(np.int64)
 

@@ -1,0 +1,213 @@
+// fpm_native — native data-plane components for fuzzypatternmatching_tpu.
+//
+// TPU-native equivalents of the reference's C++ ingest/construction path
+// (reference: include/havoqgt/rmat_edge_generator.hpp:218-261,
+// impl/delegate_partitioned_graph.ipp construction pipeline): the R-MAT
+// stream generator and the CSR builder (sort + dedupe + reverse-edge index)
+// that feed the accelerator kernels. Exposed via a C ABI for ctypes.
+//
+// Floating-point note: compiled with -ffp-contract=off so the quadrant-walk
+// noise arithmetic matches IEEE double semantics exactly — the stream is
+// bit-identical to both boost::mt19937+uniform_01 and the NumPy fallback.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------- vertex hash
+// Jenkins 32/16-bit integer hashes used for vertex scrambling
+// (reference: detail/hash.hpp:65-140).
+
+inline uint32_t hash32(uint32_t a) {
+  a = (a + 0x7ed55d16u) + (a << 12);
+  a = (a ^ 0xc761c23cu) ^ (a >> 19);
+  a = (a + 0x165667b1u) + (a << 5);
+  a = (a + 0xd3a2646cu) ^ (a << 9);
+  a = (a + 0xfd7046c5u) + (a << 3);
+  a = (a ^ 0xb55a4f09u) ^ (a >> 16);
+  return a;
+}
+
+inline uint16_t hash16(uint16_t a) {
+  a = static_cast<uint16_t>((a + 0x5d16u) + (a << 6));
+  a = static_cast<uint16_t>((a ^ 0xc23cu) ^ (a >> 9));
+  a = static_cast<uint16_t>((a + 0x67b1u) + (a << 5));
+  a = static_cast<uint16_t>((a + 0x646cu) ^ (a << 7));
+  a = static_cast<uint16_t>((a + 0x46c5u) + (a << 3));
+  a = static_cast<uint16_t>((a ^ 0x4f09u) ^ (a >> 8));
+  return a;
+}
+
+inline uint64_t shifted_n_hash32(uint64_t input, int n) {
+  uint64_t mask = 0xFFFFFFFFull;
+  uint64_t to_hash = (input >> n) & mask;
+  to_hash = hash32(static_cast<uint32_t>(to_hash));
+  mask <<= n;
+  input &= ~mask;
+  input |= (to_hash << n) & mask;
+  return input;
+}
+
+inline uint64_t shifted_n_hash16(uint64_t input, int n) {
+  uint64_t mask = 0xFFFFull;
+  uint64_t to_hash = (input >> n) & mask;
+  to_hash = hash16(static_cast<uint16_t>(to_hash));
+  mask <<= n;
+  input &= ~mask;
+  input |= (to_hash << n) & mask;
+  return input;
+}
+
+uint64_t hash_nbits(uint64_t input, int n) {
+  if (n == 32) {
+    return hash32(static_cast<uint32_t>(input));
+  }
+  if (n > 32) {
+    int m = n - 32;
+    for (int i = 0; i <= m; ++i) input = shifted_n_hash32(input, i);
+    for (int i = m; i >= 0; --i) input = shifted_n_hash32(input, i);
+    return input;
+  }
+  int m = n - 16;  // requires n > 16 (same restriction as the reference)
+  for (int i = 0; i <= m; ++i) input = shifted_n_hash16(input, i);
+  for (int i = m; i >= 0; --i) input = shifted_n_hash16(input, i);
+  return input;
+}
+
+}  // namespace
+
+extern "C" {
+
+// R-MAT stream for one rank. out_src/out_dst must hold edge_count entries
+// (undirected=0) or 2*edge_count (undirected=1, both directions
+// interleaved). std::mt19937(seed) == boost::mt19937(seed); the uniform
+// draw is rng()/2^32 as double.
+void fpm_rmat_generate(uint64_t seed, uint32_t scale, uint64_t edge_count,
+                       double a0, double b0, double c0, double d0,
+                       int scramble, int undirected, uint64_t* out_src,
+                       uint64_t* out_dst) {
+  std::mt19937 rng(static_cast<uint32_t>(seed));
+  const double inv = 1.0 / 4294967296.0;  // 2^-32
+  for (uint64_t e = 0; e < edge_count; ++e) {
+    double a = a0, b = b0, c = c0, d = d0;
+    uint64_t u = 0, v = 0;
+    uint64_t step = (uint64_t(1) << scale) / 2;
+    for (uint32_t j = 0; j < scale; ++j) {
+      double p = rng() * inv;
+      if (p < a) {
+        // quadrant a: no move
+      } else if (p < a + b) {
+        v += step;
+      } else if (p < a + b + c) {
+        u += step;
+      } else {
+        u += step;
+        v += step;
+      }
+      step /= 2;
+      a *= 0.9 + 0.2 * (rng() * inv);
+      b *= 0.9 + 0.2 * (rng() * inv);
+      c *= 0.9 + 0.2 * (rng() * inv);
+      d *= 0.9 + 0.2 * (rng() * inv);
+      double s = a + b + c + d;
+      a /= s;
+      b /= s;
+      c /= s;
+      d = 1.0 - a - b - c;
+    }
+    if (scramble) {
+      u = hash_nbits(u, static_cast<int>(scale));
+      v = hash_nbits(v, static_cast<int>(scale));
+    }
+    if (undirected) {
+      out_src[2 * e] = u;
+      out_dst[2 * e] = v;
+      out_src[2 * e + 1] = v;
+      out_dst[2 * e + 1] = u;
+    } else {
+      out_src[e] = u;
+      out_dst[e] = v;
+    }
+  }
+}
+
+// Multi-rank stream (generate_rmat.cpp:202-205 seeding), ranks in parallel.
+void fpm_rmat_generate_ranks(uint64_t base_seed, uint32_t scale,
+                             uint64_t edges_per_rank, uint32_t n_ranks,
+                             double a, double b, double c, double d,
+                             int scramble, int undirected, uint64_t* out_src,
+                             uint64_t* out_dst) {
+  uint64_t stride = undirected ? 2 * edges_per_rank : edges_per_rank;
+  unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<uint32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      uint32_t r = next.fetch_add(1);
+      if (r >= n_ranks) break;
+      fpm_rmat_generate(base_seed + 3ull * r, scale, edges_per_rank, a, b, c,
+                        d, scramble, undirected, out_src + r * stride,
+                        out_dst + r * stride);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (unsigned t = 0; t < std::min(hw, n_ranks); ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
+// CSR build: dedupe the directed stream, emit row_ptr/cols/rev/raw_degree.
+// cols/rev must have capacity n_edges; returns the deduplicated edge count.
+// Matches graph/csr.py::from_edges exactly (sorted unique (u,v) pairs,
+// reverse-edge index, duplicate-inclusive degrees).
+uint64_t fpm_build_csr(const uint64_t* src, const uint64_t* dst,
+                       uint64_t n_edges, uint64_t num_vertices,
+                       int64_t* row_ptr /*V+1*/, int64_t* cols,
+                       int64_t* rev, int64_t* raw_degree /*V*/) {
+  const uint64_t v = num_vertices;
+  std::memset(raw_degree, 0, v * sizeof(int64_t));
+  for (uint64_t i = 0; i < n_edges; ++i) raw_degree[src[i]]++;
+
+  std::vector<uint64_t> keys(n_edges);
+  for (uint64_t i = 0; i < n_edges; ++i) keys[i] = src[i] * v + dst[i];
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  const uint64_t m = keys.size();
+
+  std::memset(row_ptr, 0, (v + 1) * sizeof(int64_t));
+  for (uint64_t i = 0; i < m; ++i) {
+    uint64_t u = keys[i] / v;
+    cols[i] = static_cast<int64_t>(keys[i] % v);
+    row_ptr[u + 1]++;
+  }
+  for (uint64_t i = 0; i < v; ++i) row_ptr[i + 1] += row_ptr[i];
+
+  // reverse-edge index via sort + linear merge (random binary searches are
+  // cache-hostile at scale): sort (reverse_key, edge_index) pairs, then walk
+  // them against the sorted forward keys.
+  std::vector<std::pair<uint64_t, uint64_t>> rpairs(m);
+  {
+    uint64_t u = 0;
+    for (uint64_t i = 0; i < m; ++i) {
+      while (static_cast<int64_t>(i) >= row_ptr[u + 1]) ++u;
+      rpairs[i] = {static_cast<uint64_t>(cols[i]) * v + u, i};
+    }
+  }
+  std::sort(rpairs.begin(), rpairs.end());
+  {
+    uint64_t j = 0;
+    for (uint64_t i = 0; i < m; ++i) {
+      const uint64_t rkey = rpairs[i].first;
+      while (j < m && keys[j] < rkey) ++j;
+      rev[rpairs[i].second] =
+          (j < m && keys[j] == rkey) ? static_cast<int64_t>(j) : -1;
+    }
+  }
+  return m;
+}
+
+}  // extern "C"
