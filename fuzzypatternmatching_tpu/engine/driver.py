@@ -19,7 +19,7 @@ from ..graph.csr import Graph
 from ..pattern.nonlocal_constraint import NonLocalConstraint
 from ..pattern.pattern_graph import PatternGraph
 from .lcc import LccEngine, LccState
-from .nlcc import AliveCsr, invalidate_sources, run_nem, run_tds
+from .nlcc import AliveCsr, ForwardedSets, invalidate_sources, run_nem, run_tds
 from .result import MatchResult, PhaseRow
 
 
@@ -67,6 +67,7 @@ class MatchEngine:
         result.pattern_found = [False] * len(self.constraints)
         g = self.graph
         state = self.lcc.init_state()
+        forwarded = ForwardedSets.empty()  # persists across constraints
         global_init = True
         itr = 0
         while True:
@@ -95,9 +96,10 @@ class MatchEngine:
                         else:
                             result.subgraphs.setdefault(pl, [])
                     else:
+                        forwarded.reset_for(c, self.labels, tv, g.num_vertices)
                         out = run_nem(
                             acsr, self.labels, tv, c, g.num_vertices,
-                            num_ranks=self.num_ranks,
+                            num_ranks=self.num_ranks, forwarded=forwarded,
                         )
                     if bool(out.validated.any()):
                         result.pattern_found[pl] = True

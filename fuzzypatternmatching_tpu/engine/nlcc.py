@@ -57,6 +57,43 @@ class AliveCsr:
 
 
 @dataclass
+class ForwardedSets:
+    """Persistent (vertex, source) forwarded-token keys — the dense mirror
+    of vertex_token_source_set, shared across constraint runs for the
+    selected-vertices work aggregation (beta.cpp:791-852)."""
+
+    keys: np.ndarray  # sorted v*V + src
+
+    @classmethod
+    def empty(cls) -> "ForwardedSets":
+        return cls(keys=np.empty(0, dtype=np.int64))
+
+    def reset_for(
+        self,
+        c: NonLocalConstraint,
+        labels: np.ndarray,
+        tv: np.ndarray,
+        num_vertices: int,
+    ) -> None:
+        if not c.selected_vertices:
+            self.keys = np.empty(0, dtype=np.int64)
+            return
+        v_of = self.keys // np.int64(num_vertices)
+        keep = (tv[v_of] != 0) & (labels[v_of] == c.labels[-1])
+        self.keys = self.keys[keep]
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(self.keys) == 0:
+            return np.zeros(len(keys), dtype=bool)
+        pos = np.searchsorted(self.keys, keys)
+        pos_c = np.minimum(pos, len(self.keys) - 1)
+        return self.keys[pos_c] == keys
+
+    def add(self, keys: np.ndarray) -> None:
+        self.keys = np.union1d(self.keys, keys)
+
+
+@dataclass
 class NlccOutcome:
     sources: np.ndarray  # all token sources (the token_source_map keys)
     validated: np.ndarray  # bool per source
@@ -94,14 +131,25 @@ def run_nem(
     num_vertices: int,
     batch_size: int = 1 << 22,
     num_ranks: int = 1,
+    forwarded: ForwardedSets | None = None,
 ) -> NlccOutcome:
     """nem-style walk constraint: one pass of
-    token_passing_pattern_matching (nem_1.hpp:913-939)."""
-    if c.selected_vertices:
-        raise NotImplementedError("selected-vertices work aggregation")
+    token_passing_pattern_matching (nem_1.hpp:913-939). ``forwarded`` is the
+    persistent per-(vertex, source) dedup/aggregation set; pass the same
+    object across constraints after calling ``reset_for``."""
+    if forwarded is None:
+        forwarded = ForwardedSets.empty()
     sources = token_sources(c, labels, tv)
-    validated = np.zeros(len(sources), dtype=bool)
-    src_pos = {int(s): i for i, s in enumerate(sources)}
+    if c.selected_vertices:
+        # destinations (active final-label vertices) are the validated
+        # entities in aggregation mode (nem_1.hpp:414-432, 694-716)
+        map_keys = np.nonzero((tv != 0) & (labels == c.labels[-1]))[0].astype(
+            np.int64
+        )
+    else:
+        map_keys = sources
+    validated = np.zeros(len(map_keys), dtype=bool)
+    src_pos = {int(s): i for i, s in enumerate(map_keys)}
     maxi = c.cycle_length
     vv = np.int64(num_vertices)
     messages = 0
@@ -112,7 +160,6 @@ def run_nem(
         batch = sources[lo : lo + batch_size]
         if len(batch) == 0:
             continue
-        forwarded = np.empty(0, dtype=np.int64)  # sorted (v*V + src) keys
         rep, nbr = acsr.expand(batch)
         cur, src, parent = nbr, batch[rep], batch[rep]
         for h in range(1, maxi + 2):
@@ -124,6 +171,13 @@ def run_nem(
             if h == maxi + 1:
                 if not c.valid_cycle:
                     acc = ok & (cur != src)
+                    if c.selected_vertices:
+                        # validate destinations that forwarded this source
+                        acc &= forwarded.contains(cur * vv + src)
+                        for d in np.unique(cur[acc]):
+                            if int(d) in src_pos:
+                                validated[src_pos[int(d)]] = True
+                        break
                 else:
                     acc = ok & (cur == src)
                     for v, p in zip(cur[acc], parent[acc]):
@@ -133,7 +187,7 @@ def run_nem(
                 break
             ok &= cur != src  # the target cannot relay (nem_1.hpp:173-177)
             keys = cur * vv + src
-            ok &= ~np.isin(keys, forwarded, assume_unique=False)
+            ok &= ~forwarded.contains(keys)
             k_ok, p_ok = keys[ok], parent[ok]
             cur_ok, src_ok = cur[ok], src[ok]
             # winner per (v, src): smallest parent id
@@ -142,14 +196,14 @@ def run_nem(
             first = np.ones(len(order), dtype=bool)
             first[1:] = k_sorted[1:] != k_sorted[:-1]
             sel = order[first]
-            forwarded = np.union1d(forwarded, k_sorted[first])
+            forwarded.add(k_sorted[first])
             v_sel, s_sel, p_sel = cur_ok[sel], src_ok[sel], p_ok[sel]
             rep, nbr = acsr.expand(v_sel)
             keep = nbr != p_sel[rep]  # don't return to the received-from parent
             cur = nbr[keep]
             src = s_sel[rep][keep]
             parent = v_sel[rep][keep]
-    return NlccOutcome(sources, validated, messages, edge_marks, None, msg_r)
+    return NlccOutcome(map_keys if c.selected_vertices else sources, validated, messages, edge_marks, None, msg_r)
 
 
 def run_tds(

@@ -53,6 +53,10 @@ class MatchOracle:
         self.tv = np.zeros(v, dtype=np.uint32)  # template_vertices bitsets
         # vertex_active_edges_map: v -> {nbr: flag}
         self.alive: list[dict[int, int]] = [dict() for _ in range(v)]
+        # vertex_token_source_set: v -> sources whose tokens v forwarded;
+        # persists across constraints for the selected-vertices work
+        # aggregation (beta.cpp:791-852)
+        self.token_source_sets: dict[int, set[int]] = {}
         # per-template-vertex "any valid parent" masks
         self._adj_all = pattern.edges_bitset_all.astype(np.uint32)
         self._label_tv = pattern.label_match_bitset(self.labels).astype(np.uint32)
@@ -194,15 +198,37 @@ class MatchOracle:
             out.append(v)
         return out
 
+    def _reset_token_source_sets(self, c: NonLocalConstraint):
+        """Driver-level clearing between constraints (beta.cpp:791-852):
+        non-selected constraints clear everything; selected constraints keep
+        the sets of active final-label (destination) vertices."""
+        if not c.selected_vertices:
+            self.token_source_sets.clear()
+            return
+        lbl_last = int(c.labels[-1])
+        for v in list(self.token_source_sets):
+            if not (self.active[v] and int(self.labels[v]) == lbl_last):
+                del self.token_source_sets[v]
+
     def nlcc_call(self, c: NonLocalConstraint, pl: int, result: MatchResult):
         """One token-passing run. Returns (token_source_map, messages)."""
-        if c.selected_vertices:
-            raise NotImplementedError("selected-vertices work aggregation")
+        if c.selected_vertices and c.is_tds:
+            raise NotImplementedError("selected-vertices TDS")
+        self._reset_token_source_sets(c)
         sources = self._token_sources(c)
-        token_source_map = {s: False for s in sources}
+        if c.selected_vertices:
+            # the map holds destinations only: every active final-label
+            # vertex (nem_1.hpp:414-432); validation marks destinations
+            lbl_last = int(c.labels[-1])
+            token_source_map = {
+                v: False
+                for v in range(self.g.num_vertices)
+                if self.active[v] and int(self.labels[v]) == lbl_last
+            }
+        else:
+            token_source_map = {s: False for s in sources}
         maxi = c.cycle_length
         labels, indices = c.labels, c.indices
-        forwarded: set[tuple[int, int]] = set()
         subgraphs: list[tuple] = []
         messages = 0
 
@@ -231,7 +257,7 @@ class MatchOracle:
                     if not c.is_tds:
                         if v == src:
                             continue  # target cannot relay (nem_1.hpp:173-177)
-                        if (v, src) in forwarded:
+                        if src in self.token_source_sets.get(v, ()):
                             continue
                     if c.is_tds:
                         # enumeration rule for position h
@@ -254,6 +280,16 @@ class MatchOracle:
                     if not c.valid_cycle:
                         if v == src:
                             continue  # invalid cycle for a path constraint
+                        if c.selected_vertices:
+                            # aggregation: validate the destination iff it
+                            # forwarded this source earlier
+                            # (nem_1.hpp:694-716)
+                            if (
+                                src in self.token_source_sets.get(v, ())
+                                and v in token_source_map
+                            ):
+                                token_source_map[v] = True
+                            continue
                         token_source_map[src] = True
                         if c.is_tds:
                             subgraphs.append(tok[3] + (v, v))
@@ -308,7 +344,7 @@ class MatchOracle:
                     if key not in best or parent < best[key]:
                         best[key] = parent
                 for (v, src), parent in sorted(best.items()):
-                    forwarded.add((v, src))
+                    self.token_source_sets.setdefault(v, set()).add(src)
                     for nbr in self.alive[v]:
                         if nbr == parent:
                             continue

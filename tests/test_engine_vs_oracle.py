@@ -136,3 +136,40 @@ def test_rmat_s11_tree_corpus(tmp_path):
     pattern = load_pattern_graph(prefix)
     constraints = load_nonlocal_constraints(prefix)
     assert_equivalent(g, degree_labels(g), pattern, constraints)
+
+
+def selected_constraint():
+    # aggregation mode: validates label-2 destinations that forwarded a
+    # token during an earlier constraint run
+    return NonLocalConstraint(
+        labels=np.array([1, 2], dtype=np.uint64),
+        indices=np.array([0, 1], dtype=np.int64),
+        cycle_length=0,
+        valid_cycle=False,
+        interleave_lcc=True,
+        selected_vertices=True,
+    )
+
+
+def test_selected_vertices_aggregation_validates():
+    # constraint 0 (path) makes middles 1,3 forward sources 0,2; the
+    # selected constraint then validates those destinations -> no pruning
+    src, dst = undirected([(0, 1), (1, 2), (2, 3), (3, 0)])
+    g = from_edges(src, dst, num_vertices=4)
+    labels = np.array([1, 2, 1, 2], dtype=np.uint64)
+    r = assert_equivalent(
+        g, labels, PATH_PATTERN, [path_constraint(), selected_constraint()]
+    )
+    assert r.pattern_found == [True, True]
+    assert len(r.active_vertices) == 4
+
+
+def test_selected_vertices_without_prior_forwarding_prunes():
+    # selected constraint alone: empty aggregation sets -> all destinations
+    # fail -> full prune-out
+    src, dst = undirected([(0, 1), (1, 2), (2, 3), (3, 0)])
+    g = from_edges(src, dst, num_vertices=4)
+    labels = np.array([1, 2, 1, 2], dtype=np.uint64)
+    r = assert_equivalent(g, labels, PATH_PATTERN, [selected_constraint()])
+    assert r.pattern_found == [False]
+    assert r.active_vertices == {}
