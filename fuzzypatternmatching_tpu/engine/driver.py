@@ -12,13 +12,13 @@ from __future__ import annotations
 
 import time
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import Graph
 from ..pattern.nonlocal_constraint import NonLocalConstraint
 from ..pattern.pattern_graph import PatternGraph
-from .lcc import LccEngine, LccState
+from .lcc import LccEngine
+from .lcc_bucketed import BucketedLccEngine
 from .nlcc import AliveCsr, ForwardedSets, invalidate_sources, run_nem, run_tds
 from .result import MatchResult, PhaseRow
 
@@ -31,13 +31,15 @@ class MatchEngine:
         pattern: PatternGraph,
         constraints: list[NonLocalConstraint],
         num_ranks: int = 1,
+        lcc_engine: str = "bucketed",
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
         self.pattern = pattern
         self.constraints = constraints
         self.num_ranks = num_ranks
-        self.lcc = LccEngine(graph, self.labels, pattern, num_ranks=num_ranks)
+        cls = BucketedLccEngine if lcc_engine == "bucketed" else LccEngine
+        self.lcc = cls(graph, self.labels, pattern, num_ranks=num_ranks)
         # sorted (row*V + col) keys for O(log E) edge-slot lookup
         self._edge_keys = graph.edge_row.astype(np.uint64) * np.uint64(
             graph.num_vertices
@@ -77,8 +79,9 @@ class MatchEngine:
                 not_finished = True  # forced token passing (beta.cpp:691-696)
             if not_finished:
                 not_finished = False
-                tv = np.asarray(state.tv).copy()
-                alive = np.asarray(state.edge_alive).copy()
+                tv, alive = self.lcc.state_to_global(state)
+                tv = tv.copy()
+                alive = alive.copy()
                 tp_flag = np.zeros(g.num_edges, dtype=bool)
                 for pl, c in enumerate(self.constraints):
                     t0 = time.perf_counter()
@@ -134,29 +137,21 @@ class MatchEngine:
                     )
                     result.traversed_edges += out.messages
                     if deleted and c.interleave_lcc:
-                        state = LccState(
-                            tv=jnp.asarray(tv),
-                            edge_alive=jnp.asarray(alive),
-                            tp_flag=jnp.asarray(tp_flag),
-                        )
+                        state = self.lcc.state_from_global(tv, alive, tp_flag)
                         state, died = self._lcc_phase(state, False, itr, result)
                         if died:
                             not_finished = True
-                        tv = np.asarray(state.tv).copy()
-                        alive = np.asarray(state.edge_alive).copy()
+                        tv, alive = self.lcc.state_to_global(state)
+                        tv = tv.copy()
+                        alive = alive.copy()
                         tp_flag = np.zeros(g.num_edges, dtype=bool)
-                state = LccState(
-                    tv=jnp.asarray(tv),
-                    edge_alive=jnp.asarray(alive),
-                    tp_flag=jnp.asarray(tp_flag),
-                )
+                state = self.lcc.state_from_global(tv, alive, tp_flag)
             itr += 1
             if not not_finished or itr >= max_iterations:
                 break
 
         result.iterations = itr
-        tv = np.asarray(state.tv)
-        alive = np.asarray(state.edge_alive)
+        tv, alive = self.lcc.state_to_global(state)
         live_idx = np.nonzero(tv)[0]
         result.active_vertices = {int(v): int(tv[v]) for v in live_idx}
         live = tv != 0

@@ -109,25 +109,30 @@ class LccEngine:
 
     # -- one superstep -----------------------------------------------------
 
-    def _superstep(self, tv, edge_alive, tp_flag, *, init: bool):
+    def _superstep(
+        self, tv, edge_alive, tp_flag, col, erow, rev, rev_valid, owner,
+        *, init: bool,
+    ):
+        # graph arrays arrive as jit ARGUMENTS: closing over them would
+        # embed hundreds of MB of constants in the serialized HLO
         v = self.num_vertices
-        p_bits = tv[self.col]  # sender candidate bitsets per inbox slot
+        p_bits = tv[col]  # sender candidate bitsets per inbox slot
         if init:
             send_ok = p_bits != 0
         else:
-            rev_alive = edge_alive[self.rev] & self.rev_valid
+            rev_alive = edge_alive[rev] & rev_valid
             send_ok = (p_bits != 0) & rev_alive
         p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
         adj_mask = self._or_over_bits(tv)
-        accept = (p_bits & adj_mask[self.erow]) != 0
+        accept = (p_bits & adj_mask[erow]) != 0
         pa = jnp.where(accept, p_bits, jnp.uint32(0))
 
         # segment-OR via bit planes: tn[v] = OR of accepted sender bitsets
         planes = ((pa[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :]) & 1).astype(
             jnp.uint8
         )
-        tn_planes = jax.ops.segment_max(planes, self.erow, num_segments=v) > 0
+        tn_planes = jax.ops.segment_max(planes, erow, num_segments=v) > 0
         weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
         tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1)
 
@@ -139,15 +144,15 @@ class LccEngine:
         else:
             died_from_map = (tv != 0) & (new_tv == 0)
 
-        row_live = new_tv[self.erow] != 0
+        row_live = new_tv[erow] != 0
         if init:
             new_alive = accept & row_live
         else:
             new_alive = edge_alive & (accept | tp_flag) & row_live
 
-        eowner = self.owner[self.erow]
+        eowner = owner[erow]
         av_r = jax.ops.segment_sum(
-            (new_tv != 0).astype(jnp.int32), self.owner, num_segments=self.num_ranks
+            (new_tv != 0).astype(jnp.int32), owner, num_segments=self.num_ranks
         )
         ae_r = jax.ops.segment_sum(
             new_alive.astype(jnp.int32), eowner, num_segments=self.num_ranks
@@ -168,6 +173,16 @@ class LccEngine:
             tp_flag=jnp.zeros(e, dtype=bool),
         )
 
+    def state_from_global(self, tv, edge_alive, tp_flag) -> LccState:
+        return LccState(
+            tv=jnp.asarray(tv.astype(np.uint32)),
+            edge_alive=jnp.asarray(edge_alive),
+            tp_flag=jnp.asarray(tp_flag),
+        )
+
+    def state_to_global(self, state: LccState):
+        return np.asarray(state.tv), np.asarray(state.edge_alive)
+
     def lcc_call(
         self, state: LccState, global_init_step: bool
     ) -> tuple[LccState, list[tuple], bool]:
@@ -181,7 +196,10 @@ class LccEngine:
             init = s == 0 and global_init_step
             if init:
                 tv = self.label_tv  # all vertices start active (beta.cpp:491)
-            tv, alive, flag, stats = self._step(tv, alive, flag, init=init)
+            tv, alive, flag, stats = self._step(
+                tv, alive, flag, self.col, self.erow, self.rev,
+                self.rev_valid, self.owner, init=init,
+            )
             av_r, ae_r, msg_r, died = stats
             av_r = np.asarray(av_r)
             ae_r = np.asarray(ae_r)

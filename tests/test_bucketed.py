@@ -1,0 +1,75 @@
+"""Bucketed-ELL LCC must match the flat-CSR engine superstep-for-superstep."""
+
+import numpy as np
+
+from fuzzypatternmatching_tpu.engine.lcc import LccEngine
+from fuzzypatternmatching_tpu.engine.lcc_bucketed import BucketedLccEngine
+from fuzzypatternmatching_tpu.generators.rmat import RmatParams, generate_edges
+from fuzzypatternmatching_tpu.graph.csr import degree_labels, from_edges, grid_graph
+from fuzzypatternmatching_tpu.pattern.pattern_graph import load_pattern_graph
+
+from test_pattern import write_tree_pattern
+
+
+def _rmat(scale):
+    parts = [
+        generate_edges(
+            RmatParams(seed=5489 + 3 * r, vertex_scale=scale,
+                       edge_count=(16 << scale) // 4, scramble=False)
+        )
+        for r in range(4)
+    ]
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    return from_edges(src, dst, num_vertices=1 << scale)
+
+
+def _compare(g, labels, pattern, num_ranks=4):
+    flat = LccEngine(g, labels, pattern, num_ranks=num_ranks)
+    ell = BucketedLccEngine(g, labels, pattern, num_ranks=num_ranks)
+
+    st1, rows1, died1 = flat.lcc_call(flat.init_state(), True)
+    st2, rows2, died2 = ell.lcc_call(ell.init_state(), True)
+    assert [r[:3] for r in rows1] == [r[:3] for r in rows2]
+    for r1, r2 in zip(rows1, rows2):
+        for key in ("av", "ae", "msg"):
+            assert np.array_equal(r1[3][key], r2[3][key])
+    assert died1 == died2
+
+    tv1 = np.asarray(st1.tv)
+    alive1 = np.asarray(st1.edge_alive)
+    tv2, alive2 = ell.state_to_global(st2)
+    assert np.array_equal(tv1, tv2)
+    assert np.array_equal(alive1, alive2)
+
+    # continuation call from repacked state (incl. a tp_flag mark)
+    flag = np.zeros(g.num_edges, dtype=bool)
+    live_edges = np.nonzero(alive1)[0]
+    if len(live_edges):
+        flag[live_edges[0]] = True
+    import jax.numpy as jnp
+    from fuzzypatternmatching_tpu.engine.lcc import LccState
+
+    st1b, rows1b, _ = flat.lcc_call(
+        LccState(jnp.asarray(tv1), jnp.asarray(alive1), jnp.asarray(flag)), False
+    )
+    st2b, rows2b, _ = ell.lcc_call(
+        ell.state_from_global(tv1, alive1, flag), False
+    )
+    assert [r[:3] for r in rows1b] == [r[:3] for r in rows2b]
+    tv2b, alive2b = ell.state_to_global(st2b)
+    assert np.array_equal(np.asarray(st1b.tv), tv2b)
+    assert np.array_equal(np.asarray(st1b.edge_alive), alive2b)
+
+
+def test_bucketed_matches_flat_rmat(tmp_path):
+    pattern = load_pattern_graph(write_tree_pattern(tmp_path))
+    g = _rmat(11)
+    _compare(g, degree_labels(g), pattern)
+
+
+def test_bucketed_matches_flat_grid(tmp_path):
+    pattern = load_pattern_graph(write_tree_pattern(tmp_path))
+    src, dst = grid_graph(9, 7)
+    g = from_edges(src, dst)
+    _compare(g, degree_labels(g), pattern, num_ranks=2)
