@@ -83,10 +83,14 @@ class MatchEngine:
                 tv = tv.copy()
                 alive = alive.copy()
                 tp_flag = np.zeros(g.num_edges, dtype=bool)
+                # the pruned adjacency changes only via LCC; reuse it across
+                # constraints (deactivated vertices are filtered by the
+                # arrival checks, matching the reference's unreclaimed maps)
+                acsr = None
                 for pl, c in enumerate(self.constraints):
                     t0 = time.perf_counter()
-                    live = tv != 0
-                    acsr = AliveCsr.build(g, alive, live)
+                    if acsr is None:
+                        acsr = AliveCsr.build(g, alive, tv != 0)
                     if c.is_tds:
                         out = run_tds(
                             acsr, self.labels, tv, c, g.num_vertices,
@@ -145,6 +149,7 @@ class MatchEngine:
                         tv = tv.copy()
                         alive = alive.copy()
                         tp_flag = np.zeros(g.num_edges, dtype=bool)
+                        acsr = None  # pruned adjacency changed
                 state = self.lcc.state_from_global(tv, alive, tp_flag)
             itr += 1
             if not not_finished or itr >= max_iterations:

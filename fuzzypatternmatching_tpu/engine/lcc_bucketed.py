@@ -137,6 +137,8 @@ class BucketedLccEngine:
         self._step = jax.jit(
             partial(self._superstep), static_argnames=("init",)
         )
+        self._call_init = jax.jit(partial(self._call_impl, init=True))
+        self._call_cont = jax.jit(partial(self._call_impl, init=False))
 
     # ------------------------------------------------------------------
 
@@ -258,18 +260,45 @@ class BucketedLccEngine:
         edge_alive = al_flat[self._edge_to_slot]
         return tv, edge_alive
 
+    def _call_impl(self, tv, alive, flag, bucket_arrays, *, init: bool):
+        """All ``diameter`` supersteps in one traced program: one host
+        round-trip per LCC call instead of one per superstep (the remote-TPU
+        latency otherwise dominates the whole search)."""
+        n_steps = self.p.diameter
+        stats_list = []
+        if init:
+            tv = self.label_tv
+            tv, alive, flag, st = self._superstep(
+                tv, alive, flag, bucket_arrays, init=True
+            )
+            stats_list.append(st)
+            n_steps -= 1
+
+        def body(carry, _):
+            tv, alive, flag = carry
+            tv, alive, flag, st = self._superstep(
+                tv, alive, flag, bucket_arrays, init=False
+            )
+            return (tv, alive, flag), st
+
+        if n_steps > 0:
+            (tv, alive, flag), st_scan = jax.lax.scan(
+                body, (tv, alive, flag), None, length=n_steps
+            )
+        else:
+            st_scan = None
+        return tv, alive, flag, stats_list, st_scan
+
     def lcc_call(self, state: BucketedState, global_init_step: bool):
-        tv, alive, flag = state.tv, state.alive, state.tp_flag
+        call = self._call_init if global_init_step else self._call_cont
+        tv, alive, flag, head, st_scan = call(
+            state.tv, state.alive, state.tp_flag, self._dev
+        )
         rows = []
         any_died = False
-        for s in range(self.p.diameter):
-            init = s == 0 and global_init_step
-            if init:
-                tv = self.label_tv
-            tv, alive, flag, stats = self._step(
-                tv, alive, flag, self._dev, init=init
-            )
-            av_r, ae_r, msg_r, died = stats
+
+        def emit(av_r, ae_r, msg_r, died):
+            nonlocal any_died
             av_r = np.asarray(av_r)
             ae_r = np.asarray(ae_r)
             msg_r = np.asarray(msg_r)
@@ -282,4 +311,11 @@ class BucketedLccEngine:
                 )
             )
             any_died = any_died or bool(died)
+
+        for st in head:
+            emit(*st)
+        if st_scan is not None:
+            av_s, ae_s, msg_s, died_s = (np.asarray(x) for x in st_scan)
+            for i in range(av_s.shape[0]):
+                emit(av_s[i], ae_s[i], msg_s[i], died_s[i])
         return BucketedState(tv, alive, flag), rows, any_died
