@@ -9,12 +9,19 @@ superstep is then, per bucket:
   gather candidate bitsets -> elementwise accept -> bitwise-OR reduce along
   the width axis -> constraint check -> scatter back,
 
-i.e. dense, statically-shaped vector work with no segment ops. Power-law
-hubs land in their own wide buckets (a handful of rows, huge width) so the
-reduction stays balanced — the same skew the reference handles with delegate
-replication (impl/delegate_partitioned_graph.ipp:274-379).
+i.e. dense, statically-shaped vector work with no large segment ops.
+Power-law hubs beyond ``max_width`` are *split* across multiple rows of the
+widest bucket (their partial ORs are combined with a tiny segment reduce) —
+the same skew the reference handles with delegate replication
+(impl/delegate_partitioned_graph.ipp:274-379), done here with row splitting
+instead of cross-rank replication. The bucket count stays small (~9), which
+keeps the unrolled program compact for the compiler.
 
-Semantics are identical to LccEngine (tested); only the layout differs.
+All ``diameter`` supersteps of an LCC call run in a single jitted
+init+scan program — one host round trip per call.
+
+Semantics are identical to LccEngine (cross-tested); only the layout
+differs.
 """
 
 from __future__ import annotations
@@ -32,12 +39,15 @@ from ..pattern.pattern_graph import PatternGraph
 
 @dataclass
 class Bucket:
-    rows: np.ndarray  # vertex ids [n]
+    rows: np.ndarray  # vertex id per row [n] (repeats for split hubs)
     adj: np.ndarray  # neighbor ids [n, w], sentinel V for padding
     rev: np.ndarray  # flat slot index of the reverse edge [n, w] (S = dead)
     valid: np.ndarray  # real-slot mask [n, w]
     slot_base: int  # flat offset of this bucket's slots
     edge_ids: np.ndarray  # original CSR edge index per slot [n, w], -1 pad
+    # split-hub support (only the widest bucket can have multi-row vertices)
+    seg_id: np.ndarray  # row -> compact vertex segment id [n]
+    seg_rows: np.ndarray  # segment id -> vertex id [n_seg]
 
 
 @dataclass
@@ -57,6 +67,7 @@ class BucketedLccEngine:
         pattern: PatternGraph,
         num_ranks: int = 1,
         min_width: int = 8,
+        max_width: int = 8192,
     ):
         self.graph = graph
         self.p = pattern
@@ -65,54 +76,72 @@ class BucketedLccEngine:
         self.num_vertices = v
         deg = np.diff(graph.row_ptr)
 
-        # --- assign vertices to power-of-two width buckets ----------------
-        widths: dict[int, list[int]] = {}
-        for vertex in range(v):
-            d = int(deg[vertex])
-            if d == 0:
-                continue
-            w = max(min_width, 1 << int(np.ceil(np.log2(d))))
-            widths.setdefault(w, []).append(vertex)
+        # --- vectorized bucket assignment ---------------------------------
+        nz = np.nonzero(deg > 0)[0]
+        dnz = deg[nz]
+        wexp = np.maximum(
+            int(np.log2(min_width)),
+            np.ceil(np.log2(np.maximum(dnz, 1))).astype(np.int64),
+        )
+        wexp = np.minimum(wexp, int(np.log2(max_width)))
+        widths_present = np.unique(wexp)
 
         self.buckets: list[Bucket] = []
         slot_base = 0
-        for w in sorted(widths):
-            rows = np.array(widths[w], dtype=np.int64)
+        cap_exp = int(np.log2(max_width))
+        for we in widths_present:
+            w = 1 << int(we)
+            vs = nz[wexp == we]
+            if we == cap_exp:
+                # split rows: vertex occupies ceil(d/w) rows
+                n_rows_per = -(-deg[vs] // w)
+                rows = np.repeat(vs, n_rows_per)
+                seg_id = np.repeat(
+                    np.arange(len(vs), dtype=np.int64), n_rows_per
+                )
+                chunk = (
+                    np.arange(len(rows), dtype=np.int64)
+                    - np.repeat(np.cumsum(n_rows_per) - n_rows_per, n_rows_per)
+                )
+                starts = graph.row_ptr[rows] + chunk * w
+                lens = np.minimum(graph.row_ptr[rows + 1] - starts, w)
+                seg_rows = vs
+            else:
+                rows = vs
+                seg_id = np.arange(len(vs), dtype=np.int64)
+                seg_rows = vs
+                starts = graph.row_ptr[rows]
+                lens = deg[rows]
             n = len(rows)
-            adj = np.full((n, w), v, dtype=np.int32)
-            eids = np.full((n, w), -1, dtype=np.int64)
-            for i, vertex in enumerate(rows):
-                lo, hi = int(graph.row_ptr[vertex]), int(graph.row_ptr[vertex + 1])
-                adj[i, : hi - lo] = graph.cols[lo:hi]
-                eids[i, : hi - lo] = np.arange(lo, hi)
-            valid = eids >= 0
+            offs = np.arange(w, dtype=np.int64)[None, :]
+            valid = offs < lens[:, None]
+            eidx = np.minimum(starts[:, None] + offs, graph.num_edges - 1)
+            adj = np.where(valid, graph.cols[eidx], v).astype(np.int32)
+            eids = np.where(valid, eidx, -1)
             self.buckets.append(
-                Bucket(rows, adj, None, valid, slot_base, eids)
+                Bucket(rows, adj, None, valid, slot_base, eids, seg_id, seg_rows)
             )
             slot_base += n * w
         self.num_slots = slot_base
 
-        # original edge id -> flat slot
+        # original edge id <-> flat slot
         edge_to_slot = np.full(graph.num_edges, slot_base, dtype=np.int64)
         for b in self.buckets:
             flat_ids = b.edge_ids.reshape(-1)
             mask = flat_ids >= 0
-            edge_to_slot[flat_ids[mask]] = (
-                b.slot_base + np.nonzero(mask)[0]
-            )
+            edge_to_slot[flat_ids[mask]] = b.slot_base + np.nonzero(mask)[0]
         self._edge_to_slot = edge_to_slot
 
-        # reverse-edge slot per (row, width) cell; S = always-dead slot
         for b in self.buckets:
-            rv = np.full(b.adj.shape, slot_base, dtype=np.int64)
             flat_ids = b.edge_ids.reshape(-1)
             mask = flat_ids >= 0
+            rv_flat = np.full(flat_ids.shape, slot_base, dtype=np.int64)
             rev_edges = graph.rev_edge[flat_ids[mask]]
             ok = rev_edges >= 0
-            tmp = np.full(mask.sum(), slot_base, dtype=np.int64)
+            tmp = np.full(int(mask.sum()), slot_base, dtype=np.int64)
             tmp[ok] = edge_to_slot[rev_edges[ok]]
-            rv.reshape(-1)[np.nonzero(mask)[0]] = tmp
-            b.rev = rv
+            rv_flat[np.nonzero(mask)[0]] = tmp
+            b.rev = rv_flat.reshape(b.adj.shape)
 
         # --- device constants ---------------------------------------------
         self.k = pattern.vertex_count
@@ -131,6 +160,8 @@ class BucketedLccEngine:
                 jnp.asarray(b.adj),
                 jnp.asarray(b.rev, dtype=jnp.int32),
                 jnp.asarray(b.valid),
+                jnp.asarray(b.seg_id, dtype=jnp.int32),
+                jnp.asarray(b.seg_rows, dtype=jnp.int32),
             )
             for b in self.buckets
         ]
@@ -160,19 +191,31 @@ class BucketedLccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
+    @staticmethod
+    def _segment_or(values, seg_id, n_seg):
+        """OR-combine uint32 values per segment (tiny: split-hub partials)."""
+        planes = (
+            (values[:, None] >> jnp.arange(16, dtype=jnp.uint32)[None, :]) & 1
+        ).astype(jnp.uint8)
+        seg = jax.ops.segment_max(planes, seg_id, num_segments=n_seg) > 0
+        weights = (1 << jnp.arange(16, dtype=jnp.uint32))[None, :]
+        return jnp.sum(seg.astype(jnp.uint32) * weights, axis=1)
+
     def _superstep(self, tv, alive, tp_flag, bucket_arrays, *, init: bool):
-        v = self.num_vertices
         tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])
         new_tv = jnp.zeros_like(tv)
         new_alive_parts = []
-        av = ae = msgs = jnp.int32(0)
         av_r = jnp.zeros(self.num_ranks, dtype=jnp.int32)
         ae_r = jnp.zeros(self.num_ranks, dtype=jnp.int32)
         msg_r = jnp.zeros(self.num_ranks, dtype=jnp.int32)
         died = jnp.bool_(False)
 
-        for bkt, (rows, adj, rev, valid) in zip(self.buckets, bucket_arrays):
+        for bkt, (rows, adj, rev, valid, seg_id, seg_rows) in zip(
+            self.buckets, bucket_arrays
+        ):
             n, w = adj.shape
+            n_seg = len(bkt.seg_rows)
+            split = n_seg != n
             base = bkt.slot_base  # static python int
             p_bits = tv_pad[adj]
             if init:
@@ -181,24 +224,28 @@ class BucketedLccEngine:
                 send_ok = (p_bits != 0) & alive[rev]
             p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
-            tvb = tv[rows]
-            adj_mask = self._or_over_bits(tvb)
-            accept = (p_bits & adj_mask[:, None]) != 0
+            tv_seg = tv[seg_rows]  # per-vertex candidates [n_seg]
+            adj_mask_seg = self._or_over_bits(tv_seg)
+            accept = (p_bits & adj_mask_seg[seg_id][:, None]) != 0
             pa = jnp.where(accept, p_bits, jnp.uint32(0))
-            tn = jax.lax.reduce(
+            tn_rows = jax.lax.reduce(
                 pa, np.uint32(0), jax.lax.bitwise_or, dimensions=[1]
             )
+            if split:
+                tn = self._segment_or(tn_rows, seg_id, n_seg)
+            else:
+                tn = tn_rows
 
             in_map = tn != 0
-            new_tvb = tvb & self._keep_mask(tn)
+            new_tv_seg = tv_seg & self._keep_mask(tn)
             if init:
-                new_tvb = jnp.where(in_map, new_tvb, jnp.uint32(0))
-                died_b = in_map & (new_tvb == 0)
+                new_tv_seg = jnp.where(in_map, new_tv_seg, jnp.uint32(0))
+                died_b = in_map & (new_tv_seg == 0)
             else:
-                died_b = (tvb != 0) & (new_tvb == 0)
+                died_b = (tv_seg != 0) & (new_tv_seg == 0)
             died = died | jnp.any(died_b)
 
-            row_live = new_tvb != 0
+            row_live = (new_tv_seg != 0)[seg_id]
             if init:
                 new_alive_b = accept & row_live[:, None]
             else:
@@ -206,19 +253,20 @@ class BucketedLccEngine:
                 own_flag = tp_flag[base : base + n * w].reshape(n, w)
                 new_alive_b = own_alive & (accept | own_flag) & row_live[:, None]
             new_alive_parts.append(new_alive_b.reshape(-1))
-            new_tv = new_tv.at[rows].set(new_tvb)
+            new_tv = new_tv.at[seg_rows].set(new_tv_seg)
 
-            ownb = self.owner[rows]
+            own_seg = self.owner[seg_rows]
             av_r = av_r + jax.ops.segment_sum(
-                (new_tvb != 0).astype(jnp.int32), ownb,
+                (new_tv_seg != 0).astype(jnp.int32), own_seg,
                 num_segments=self.num_ranks,
             )
+            own_rows = self.owner[rows]
             ae_r = ae_r + jax.ops.segment_sum(
-                jnp.sum(new_alive_b, axis=1).astype(jnp.int32), ownb,
+                jnp.sum(new_alive_b, axis=1).astype(jnp.int32), own_rows,
                 num_segments=self.num_ranks,
             )
             msg_r = msg_r + jax.ops.segment_sum(
-                jnp.sum(send_ok, axis=1).astype(jnp.int32), ownb,
+                jnp.sum(send_ok, axis=1).astype(jnp.int32), own_rows,
                 num_segments=self.num_ranks,
             )
 
@@ -233,32 +281,6 @@ class BucketedLccEngine:
         )
 
     # ------------------------------------------------------------------
-
-    def init_state(self) -> BucketedState:
-        return BucketedState(
-            tv=jnp.zeros(self.num_vertices, dtype=jnp.uint32),
-            alive=jnp.zeros(self.num_slots + 1, dtype=bool),
-            tp_flag=jnp.zeros(self.num_slots + 1, dtype=bool),
-        )
-
-    def state_from_global(self, tv, edge_alive, tp_flag) -> BucketedState:
-        al = np.zeros(self.num_slots + 1, dtype=bool)
-        fl = np.zeros(self.num_slots + 1, dtype=bool)
-        al[self._edge_to_slot] = edge_alive
-        fl[self._edge_to_slot] = tp_flag
-        al[-1] = False
-        fl[-1] = False
-        return BucketedState(
-            tv=jnp.asarray(tv.astype(np.uint32)),
-            alive=jnp.asarray(al),
-            tp_flag=jnp.asarray(fl),
-        )
-
-    def state_to_global(self, state: BucketedState):
-        tv = np.asarray(state.tv)
-        al_flat = np.asarray(state.alive)
-        edge_alive = al_flat[self._edge_to_slot]
-        return tv, edge_alive
 
     def _call_impl(self, tv, alive, flag, bucket_arrays, *, init: bool):
         """All ``diameter`` supersteps in one traced program: one host
@@ -289,6 +311,32 @@ class BucketedLccEngine:
             st_scan = None
         return tv, alive, flag, stats_list, st_scan
 
+    def init_state(self) -> BucketedState:
+        return BucketedState(
+            tv=jnp.zeros(self.num_vertices, dtype=jnp.uint32),
+            alive=jnp.zeros(self.num_slots + 1, dtype=bool),
+            tp_flag=jnp.zeros(self.num_slots + 1, dtype=bool),
+        )
+
+    def state_from_global(self, tv, edge_alive, tp_flag) -> BucketedState:
+        al = np.zeros(self.num_slots + 1, dtype=bool)
+        fl = np.zeros(self.num_slots + 1, dtype=bool)
+        al[self._edge_to_slot] = edge_alive
+        fl[self._edge_to_slot] = tp_flag
+        al[-1] = False
+        fl[-1] = False
+        return BucketedState(
+            tv=jnp.asarray(tv.astype(np.uint32)),
+            alive=jnp.asarray(al),
+            tp_flag=jnp.asarray(fl),
+        )
+
+    def state_to_global(self, state: BucketedState):
+        tv = np.asarray(state.tv)
+        al_flat = np.asarray(state.alive)
+        edge_alive = al_flat[self._edge_to_slot]
+        return tv, edge_alive
+
     def lcc_call(self, state: BucketedState, global_init_step: bool):
         call = self._call_init if global_init_step else self._call_cont
         tv, alive, flag, head, st_scan = call(
@@ -297,7 +345,7 @@ class BucketedLccEngine:
         rows = []
         any_died = False
 
-        def emit(av_r, ae_r, msg_r, died):
+        def emit(av_r, ae_r, msg_r, d):
             nonlocal any_died
             av_r = np.asarray(av_r)
             ae_r = np.asarray(ae_r)
@@ -310,7 +358,7 @@ class BucketedLccEngine:
                     {"av": av_r, "ae": ae_r, "msg": msg_r},
                 )
             )
-            any_died = any_died or bool(died)
+            any_died = any_died or bool(d)
 
         for st in head:
             emit(*st)

@@ -73,3 +73,24 @@ def test_bucketed_matches_flat_grid(tmp_path):
     src, dst = grid_graph(9, 7)
     g = from_edges(src, dst)
     _compare(g, degree_labels(g), pattern, num_ranks=2)
+
+
+def test_bucketed_split_hub(tmp_path):
+    # force hub splitting with a tiny max_width: star hub of degree 40
+    pattern = load_pattern_graph(write_tree_pattern(tmp_path))
+    import numpy as np
+
+    hub_edges = [(0, i) for i in range(1, 41)] + [(1, 2), (2, 3)]
+    src = np.array([e[0] for e in hub_edges] + [e[1] for e in hub_edges])
+    dst = np.array([e[1] for e in hub_edges] + [e[0] for e in hub_edges])
+    g = from_edges(src, dst, num_vertices=41)
+    labels = degree_labels(g)
+    flat = LccEngine(g, labels, pattern, num_ranks=2)
+    ell = BucketedLccEngine(g, labels, pattern, num_ranks=2, min_width=4, max_width=8)
+    assert any(len(b.seg_rows) != len(b.rows) for b in ell.buckets)
+    st1, rows1, d1 = flat.lcc_call(flat.init_state(), True)
+    st2, rows2, d2 = ell.lcc_call(ell.init_state(), True)
+    assert [r[:3] for r in rows1] == [r[:3] for r in rows2]
+    tv2, alive2 = ell.state_to_global(st2)
+    assert np.array_equal(np.asarray(st1.tv), tv2)
+    assert np.array_equal(np.asarray(st1.edge_alive), alive2)
