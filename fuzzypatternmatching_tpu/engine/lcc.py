@@ -134,7 +134,7 @@ class LccEngine:
         )
         tn_planes = jax.ops.segment_max(planes, erow, num_segments=v) > 0
         weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
-        tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1)
+        tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32)
 
         in_map = tn != 0  # received at least one valid-parent message
         new_tv = tv & self._keep_mask(tn)

@@ -199,7 +199,7 @@ class BucketedLccEngine:
         ).astype(jnp.uint8)
         seg = jax.ops.segment_max(planes, seg_id, num_segments=n_seg) > 0
         weights = (1 << jnp.arange(16, dtype=jnp.uint32))[None, :]
-        return jnp.sum(seg.astype(jnp.uint32) * weights, axis=1)
+        return jnp.sum(seg.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32)
 
     def _superstep(self, tv, alive, tp_flag, bucket_arrays, *, init: bool):
         tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])

@@ -126,6 +126,49 @@ class ShardedLccEngine:
         self._step_init = make_step(True)
         self._step_cont = make_step(False)
 
+        # whole-call programs: init superstep + scan of continuations in one
+        # trace (single host round trip per LCC call)
+        def make_call(init: bool):
+            sh = P("x", None)
+
+            def call(tv, alive, flag, col, lrow, rev, rev_ok, evalid):
+                spmd_init = partial(self._superstep_spmd, init=True)
+                spmd_cont = partial(self._superstep_spmd, init=False)
+                smap = lambda f: jax.shard_map(
+                    f,
+                    mesh=mesh,
+                    in_specs=(sh,) * 8,
+                    out_specs=(sh, sh, sh, (P(), P(), P(), P())),
+                )
+                n_steps = self.p.diameter
+                head = []
+                if init:
+                    tv, alive, flag, st = smap(spmd_init)(
+                        tv, alive, flag, col, lrow, rev, rev_ok, evalid
+                    )
+                    head.append(st)
+                    n_steps -= 1
+                step_fn = smap(spmd_cont)
+
+                def body(carry, _):
+                    tv, alive, flag = carry
+                    tv, alive, flag, st = step_fn(
+                        tv, alive, flag, col, lrow, rev, rev_ok, evalid
+                    )
+                    return (tv, alive, flag), st
+
+                st_scan = None
+                if n_steps > 0:
+                    (tv, alive, flag), st_scan = jax.lax.scan(
+                        body, (tv, alive, flag), None, length=n_steps
+                    )
+                return tv, alive, flag, head, st_scan
+
+            return jax.jit(call)
+
+        self._call_init = make_call(True)
+        self._call_cont = make_call(False)
+
     # ---------------------------------------------------------------- spmd
 
     def _or_over_bits(self, tv):
@@ -178,7 +221,7 @@ class ShardedLccEngine:
         ).astype(jnp.uint8)
         tn_planes = jax.ops.segment_max(planes, lrow, num_segments=b) > 0
         weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
-        tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1)
+        tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32)
 
         in_map = tn != 0
         new_tv = tv_loc & self._keep_mask(tn)
@@ -253,18 +296,26 @@ class ShardedLccEngine:
 
     def lcc_call(self, state: ShardedState, global_init_step: bool):
         tv, alive, flag = state.tv, state.edge_alive, state.tp_flag
+        if global_init_step:
+            tv = self.label_tv
+        call = self._call_init if global_init_step else self._call_cont
+        tv, alive, flag, head, st_scan = call(
+            tv, alive, flag, self.col, self.lrow, self.rev,
+            self.rev_valid, self.evalid,
+        )
         rows = []
         any_died = False
-        for s in range(self.p.diameter):
-            init = s == 0 and global_init_step
-            if init:
-                tv = self.label_tv
-            step = self._step_init if init else self._step_cont
-            tv, alive, flag, stats = step(
-                tv, alive, flag, self.col, self.lrow, self.rev,
-                self.rev_valid, self.evalid,
-            )
-            av, ae, msgs, died = (int(x) for x in stats)
-            rows.append((av, ae, msgs, None))
+
+        def emit(av, ae, msgs, died):
+            nonlocal any_died
+            rows.append((int(av), int(ae), int(msgs), None))
             any_died = any_died or bool(died)
+
+        for st in head:
+            emit(*st)
+        if st_scan is not None:
+            av_s, ae_s, msg_s, died_s = (np.asarray(x) for x in st_scan)
+            for i in range(av_s.shape[0]):
+                emit(av_s[i], ae_s[i], msg_s[i], died_s[i])
         return ShardedState(tv, alive, flag), rows, any_died
+
