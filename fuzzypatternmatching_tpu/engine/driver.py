@@ -32,14 +32,20 @@ class MatchEngine:
         constraints: list[NonLocalConstraint],
         num_ranks: int = 1,
         lcc_engine: str = "bucketed",
+        mesh=None,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
         self.pattern = pattern
         self.constraints = constraints
         self.num_ranks = num_ranks
-        cls = BucketedLccEngine if lcc_engine == "bucketed" else LccEngine
-        self.lcc = cls(graph, self.labels, pattern, num_ranks=num_ranks)
+        if lcc_engine == "sharded" or mesh is not None:
+            from ..parallel.sharded import ShardedLccEngine
+
+            self.lcc = ShardedLccEngine(graph, self.labels, pattern, mesh=mesh)
+        else:
+            cls = BucketedLccEngine if lcc_engine == "bucketed" else LccEngine
+            self.lcc = cls(graph, self.labels, pattern, num_ranks=num_ranks)
         # sorted (row*V + col) keys for O(log E) edge-slot lookup
         self._edge_keys = graph.edge_row.astype(np.uint64) * np.uint64(
             graph.num_vertices

@@ -71,3 +71,27 @@ def test_sharded_grid(tree_pattern):
     _, rows1, _ = single.lcc_call(single.init_state(), True)
     _, rows2, _ = sharded.lcc_call(sharded.init_state(), True)
     assert [r[:3] for r in rows1] == [r[:3] for r in rows2]
+
+
+def test_full_search_on_mesh(tree_pattern, tmp_path):
+    """The complete LCC+NLCC search driven with the sharded engine on an
+    8-device mesh must match the oracle."""
+    from fuzzypatternmatching_tpu.engine.driver import MatchEngine
+    from fuzzypatternmatching_tpu.engine.oracle import MatchOracle
+    from fuzzypatternmatching_tpu.pattern.nonlocal_constraint import (
+        load_nonlocal_constraints,
+    )
+
+    g = _rmat_graph(11)
+    labels = degree_labels(g)
+    constraints = load_nonlocal_constraints(
+        write_tree_pattern(tmp_path), tree_pattern.vertex_data
+    )
+    oracle_r = MatchOracle(g, labels, tree_pattern, constraints).run()
+    engine_r = MatchEngine(
+        g, labels, tree_pattern, constraints, lcc_engine="sharded"
+    ).run()
+    assert oracle_r.trace() == engine_r.trace()
+    assert oracle_r.active_vertices == engine_r.active_vertices
+    assert oracle_r.active_edges == engine_r.active_edges
+    assert oracle_r.pattern_found == engine_r.pattern_found
