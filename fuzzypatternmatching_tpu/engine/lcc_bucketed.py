@@ -170,6 +170,12 @@ class BucketedLccEngine:
         )
         self._call_init = jax.jit(partial(self._call_impl, init=True))
         self._call_cont = jax.jit(partial(self._call_impl, init=False))
+        # bit-packed transfers: the flat alive array is ~S bytes as bool;
+        # packing on device cuts the host<->device tunnel traffic 8x
+        self._pack = jax.jit(lambda b: jnp.packbits(b))
+        self._unpack = jax.jit(
+            lambda p: jnp.unpackbits(p, count=self.num_slots + 1).astype(bool)
+        )
 
     # ------------------------------------------------------------------
 
@@ -296,16 +302,40 @@ class BucketedLccEngine:
             stats_list.append(st)
             n_steps -= 1
 
-        def body(carry, _):
-            tv, alive, flag = carry
-            tv, alive, flag, st = self._superstep(
+        def run_step(tv, alive, flag):
+            new_tv, new_alive, new_flag, st = self._superstep(
                 tv, alive, flag, bucket_arrays, init=False
             )
-            return (tv, alive, flag), st
+            same = (
+                jnp.all(new_tv == tv)
+                & jnp.all(new_alive == alive)
+                & jnp.logical_not(jnp.any(flag))
+            )
+            return new_tv, new_alive, new_flag, st, same
+
+        def body(carry, _):
+            tv, alive, flag, done, last_st = carry
+            def live(_):
+                return run_step(tv, alive, flag)
+            def frozen(_):
+                # converged: repeat the previous counters (what the
+                # reference's remaining supersteps would also report)
+                return tv, alive, flag, last_st, jnp.bool_(True)
+            tv2, alive2, flag2, st, same = jax.lax.cond(done, frozen, live, None)
+            return (tv2, alive2, flag2, done | same, st), st
 
         if n_steps > 0:
-            (tv, alive, flag), st_scan = jax.lax.scan(
-                body, (tv, alive, flag), None, length=n_steps
+            if stats_list:
+                last_st = stats_list[-1]
+            else:
+                z = jnp.zeros(self.num_ranks, dtype=jnp.int32)
+                last_st = (z, z, z, jnp.bool_(False))
+            # strip the 'died' flag from the repeated counters: a frozen
+            # superstep invalidates nothing
+            last_st = (last_st[0], last_st[1], last_st[2], jnp.bool_(False))
+            (tv, alive, flag, _, _), st_scan = jax.lax.scan(
+                body, (tv, alive, flag, jnp.bool_(False), last_st), None,
+                length=n_steps,
             )
         else:
             st_scan = None
@@ -327,13 +357,14 @@ class BucketedLccEngine:
         fl[-1] = False
         return BucketedState(
             tv=jnp.asarray(tv.astype(np.uint32)),
-            alive=jnp.asarray(al),
-            tp_flag=jnp.asarray(fl),
+            alive=self._unpack(jnp.asarray(np.packbits(al))),
+            tp_flag=self._unpack(jnp.asarray(np.packbits(fl))),
         )
 
     def state_to_global(self, state: BucketedState):
         tv = np.asarray(state.tv)
-        al_flat = np.asarray(state.alive)
+        packed = np.asarray(self._pack(state.alive))
+        al_flat = np.unpackbits(packed, count=self.num_slots + 1).astype(bool)
         edge_alive = al_flat[self._edge_to_slot]
         return tv, edge_alive
 
