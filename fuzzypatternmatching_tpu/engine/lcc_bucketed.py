@@ -154,6 +154,10 @@ class BucketedLccEngine:
         self.owner = jnp.asarray(
             np.arange(v, dtype=np.int64) % num_ranks, dtype=jnp.int32
         )
+        seg_concat = np.concatenate([b.seg_rows for b in self.buckets]) if self.buckets else np.empty(0, np.int64)
+        inv = np.full(v, len(seg_concat), dtype=np.int64)
+        inv[seg_concat] = np.arange(len(seg_concat))
+        self._inv_perm = jnp.asarray(inv, dtype=jnp.int32)
         self._dev = [
             (
                 jnp.asarray(b.rows, dtype=jnp.int32),
@@ -207,9 +211,10 @@ class BucketedLccEngine:
         weights = (1 << jnp.arange(16, dtype=jnp.uint32))[None, :]
         return jnp.sum(seg.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32)
 
-    def _superstep(self, tv, alive, tp_flag, bucket_arrays, *, init: bool):
+    def _superstep(self, tv, alive, tp_flag, bucket_arrays, consts, *, init: bool):
+        owner, inv_perm = consts["owner"], consts["inv_perm"]
         tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])
-        new_tv = jnp.zeros_like(tv)
+        new_tv_parts = []  # per-bucket seg outputs; combined by one gather
         new_alive_parts = []
         av_r = jnp.zeros(self.num_ranks, dtype=jnp.int32)
         ae_r = jnp.zeros(self.num_ranks, dtype=jnp.int32)
@@ -259,14 +264,14 @@ class BucketedLccEngine:
                 own_flag = tp_flag[base : base + n * w].reshape(n, w)
                 new_alive_b = own_alive & (accept | own_flag) & row_live[:, None]
             new_alive_parts.append(new_alive_b.reshape(-1))
-            new_tv = new_tv.at[seg_rows].set(new_tv_seg)
+            new_tv_parts.append(new_tv_seg)
 
-            own_seg = self.owner[seg_rows]
+            own_seg = owner[seg_rows]
             av_r = av_r + jax.ops.segment_sum(
                 (new_tv_seg != 0).astype(jnp.int32), own_seg,
                 num_segments=self.num_ranks,
             )
-            own_rows = self.owner[rows]
+            own_rows = owner[rows]
             ae_r = ae_r + jax.ops.segment_sum(
                 jnp.sum(new_alive_b, axis=1).astype(jnp.int32), own_rows,
                 num_segments=self.num_ranks,
@@ -279,6 +284,12 @@ class BucketedLccEngine:
         new_alive_flat = jnp.concatenate(
             new_alive_parts + [jnp.zeros(1, dtype=bool)]
         )
+        # single inverse-permutation gather instead of per-bucket scatters
+        # (TPU scatters serialize; gathers vectorize)
+        seg_all = jnp.concatenate(
+            new_tv_parts + [jnp.zeros(1, dtype=jnp.uint32)]
+        )
+        new_tv = seg_all[inv_perm]
         return (
             new_tv,
             new_alive_flat,
@@ -288,23 +299,23 @@ class BucketedLccEngine:
 
     # ------------------------------------------------------------------
 
-    def _call_impl(self, tv, alive, flag, bucket_arrays, *, init: bool):
+    def _call_impl(self, tv, alive, flag, bucket_arrays, consts, *, init: bool):
         """All ``diameter`` supersteps in one traced program: one host
         round-trip per LCC call instead of one per superstep (the remote-TPU
         latency otherwise dominates the whole search)."""
         n_steps = self.p.diameter
         stats_list = []
         if init:
-            tv = self.label_tv
+            tv = consts["label_tv"]
             tv, alive, flag, st = self._superstep(
-                tv, alive, flag, bucket_arrays, init=True
+                tv, alive, flag, bucket_arrays, consts, init=True
             )
             stats_list.append(st)
             n_steps -= 1
 
         def run_step(tv, alive, flag):
             new_tv, new_alive, new_flag, st = self._superstep(
-                tv, alive, flag, bucket_arrays, init=False
+                tv, alive, flag, bucket_arrays, consts, init=False
             )
             same = (
                 jnp.all(new_tv == tv)
@@ -370,8 +381,13 @@ class BucketedLccEngine:
 
     def lcc_call(self, state: BucketedState, global_init_step: bool):
         call = self._call_init if global_init_step else self._call_cont
+        consts = {
+            "owner": self.owner,
+            "inv_perm": self._inv_perm,
+            "label_tv": self.label_tv,
+        }
         tv, alive, flag, head, st_scan = call(
-            state.tv, state.alive, state.tp_flag, self._dev
+            state.tv, state.alive, state.tp_flag, self._dev, consts
         )
         rows = []
         any_died = False
