@@ -30,6 +30,18 @@ sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".bench_cache")
 BASELINE_FILE = os.path.join(REPO, "BENCH_BASELINE.json")
 
+# persistent XLA compilation cache: the s21 programs take minutes to compile
+# through the remote relay; cache them across bench invocations
+try:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(CACHE, "jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
