@@ -313,64 +313,17 @@ class BucketedLccEngine:
             stats_list.append(st)
             n_steps -= 1
 
-        # while_loop with convergence exit: the body (one superstep) is
-        # compiled once; once tv/alive stop changing the remaining
-        # supersteps are skipped and their counters back-filled with the
-        # converged step's values (identical to actually running them).
-        z = jnp.zeros(self.num_ranks, dtype=jnp.int32)
-        if stats_list:
-            last = stats_list[-1]
-            fill0 = (last[0], last[1], last[2])
-        else:
-            fill0 = (z, z, z)
+        def body(carry, _):
+            tv, alive, flag = carry
+            tv, alive, flag, st = self._superstep(
+                tv, alive, flag, bucket_arrays, consts, init=False
+            )
+            return (tv, alive, flag), st
 
         if n_steps > 0:
-            av_buf = jnp.zeros((n_steps, self.num_ranks), dtype=jnp.int32)
-            ae_buf = jnp.zeros_like(av_buf)
-            msg_buf = jnp.zeros_like(av_buf)
-            died_buf = jnp.zeros(n_steps, dtype=bool)
-
-            def cond_fn(carry):
-                _, _, _, i, done, *_ = carry
-                return (i < n_steps) & jnp.logical_not(done)
-
-            def body_fn(carry):
-                tv, alive, flag, i, done, av_b, ae_b, msg_b, d_b = carry
-                new_tv, new_alive, new_flag, st = self._superstep(
-                    tv, alive, flag, bucket_arrays, consts, init=False
-                )
-                same = (
-                    jnp.all(new_tv == tv)
-                    & jnp.all(new_alive == alive)
-                    & jnp.logical_not(jnp.any(flag))
-                )
-                av_b = av_b.at[i].set(st[0])
-                ae_b = ae_b.at[i].set(st[1])
-                msg_b = msg_b.at[i].set(st[2])
-                d_b = d_b.at[i].set(st[3])
-                return (new_tv, new_alive, new_flag, i + 1, same, av_b, ae_b, msg_b, d_b)
-
-            tv, alive, flag, n_done, _, av_buf, ae_buf, msg_buf, died_buf = (
-                jax.lax.while_loop(
-                    cond_fn,
-                    body_fn,
-                    (tv, alive, flag, jnp.int32(0), jnp.bool_(False),
-                     av_buf, ae_buf, msg_buf, died_buf),
-                )
+            (tv, alive, flag), st_scan = jax.lax.scan(
+                body, (tv, alive, flag), None, length=n_steps
             )
-            # back-fill skipped steps with the last computed counters
-            idx = jnp.arange(n_steps)
-            last_i = jnp.maximum(n_done - 1, 0)
-            ran = idx < n_done
-            had_any = n_done > 0
-            fa = jnp.where(had_any, av_buf[last_i], fill0[0])
-            fe = jnp.where(had_any, ae_buf[last_i], fill0[1])
-            fm = jnp.where(had_any, msg_buf[last_i], fill0[2])
-            av_buf = jnp.where(ran[:, None], av_buf, fa[None, :])
-            ae_buf = jnp.where(ran[:, None], ae_buf, fe[None, :])
-            msg_buf = jnp.where(ran[:, None], msg_buf, fm[None, :])
-            died_buf = jnp.where(ran, died_buf, False)
-            st_scan = (av_buf, ae_buf, msg_buf, died_buf)
         else:
             st_scan = None
         return tv, alive, flag, stats_list, st_scan

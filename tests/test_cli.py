@@ -61,3 +61,36 @@ def test_ingest_edge_list(tmp_path):
     g, _, _ = storage.load(db)
     assert g.num_vertices == 3
     assert g.num_edges == 6  # symmetrized triangle
+
+
+def test_explicit_labels_lcc_only(tmp_path):
+    """BASELINE config 2: chain pattern with -v labels, no NLC files."""
+    # graph: path 0-1-2-3 plus a distractor 4-5
+    ef = tmp_path / "edges.txt"
+    ef.write_text("0 1\n1 2\n2 3\n4 5\n")
+    db = str(tmp_path / "db")
+    ingest_edge_list.main(["-o", db, "-u", "-p", "2", str(ef)])
+
+    # labels via -v files (vertex_data_db format: "<base>*")
+    lab = tmp_path / "labels_0"
+    lab.write_text("0 7\n1 8\n2 7\n3 8\n4 7\n5 9\n")
+
+    # chain template 7-8 (no pattern_nlc / non_local_constraint files)
+    pdir = tmp_path / "patterns" / "0"
+    pdir.mkdir(parents=True)
+    (pdir / "pattern_edge").write_text("0 1\n1 0\n")
+    (pdir / "pattern_vertex_data").write_text("0 7\n1 8\n")
+    (pdir / "pattern_stat").write_text("diameter : 2\n")
+
+    out = str(tmp_path / "out")
+    run_pattern_matching.main(
+        ["-i", db, "-p", str(tmp_path / "patterns"), "-o", out,
+         "-v", str(tmp_path / "labels_")]
+    )
+    av_lines = []
+    for r in range(2):
+        p = os.path.join(out, "0", "all_ranks_active_vertices", f"active_vertices_{r}")
+        av_lines += open(p).read().splitlines()
+    # 0(7)-1(8)-2(7)-3(8) chain survives; 4(7)-5(9) pruned
+    vs = sorted(int(l.split(",")[1]) for l in av_lines)
+    assert vs == [0, 1, 2, 3]
