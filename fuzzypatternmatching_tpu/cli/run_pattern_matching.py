@@ -73,7 +73,10 @@ def main(argv=None):
             f"diameter={pattern.diameter} constraints={len(constraints)}"
         )
         t0 = time.time()
-        engine = MatchEngine(graph, labels, pattern, constraints, num_ranks=num_ranks)
+        engine = MatchEngine(
+            graph, labels, pattern, constraints, num_ranks=num_ranks,
+            source_batch=args.batch,
+        )
         result = engine.run(max_iterations=args.max_iterations)
         print(
             f"pattern [{ps}]: iterations={result.iterations} "

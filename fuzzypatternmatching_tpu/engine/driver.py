@@ -33,12 +33,14 @@ class MatchEngine:
         num_ranks: int = 1,
         lcc_engine: str = "bucketed",
         mesh=None,
+        source_batch: int = 1 << 16,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
         self.pattern = pattern
         self.constraints = constraints
         self.num_ranks = num_ranks
+        self.source_batch = source_batch
         if lcc_engine == "sharded" or mesh is not None:
             from ..parallel.sharded import ShardedLccEngine
 
@@ -100,6 +102,7 @@ class MatchEngine:
                     if c.is_tds:
                         out = run_tds(
                             acsr, self.labels, tv, c, g.num_vertices,
+                            source_batch=self.source_batch,
                             num_ranks=self.num_ranks,
                         )
                         if out.subgraphs is not None and len(out.subgraphs):
