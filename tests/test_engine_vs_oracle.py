@@ -173,3 +173,45 @@ def test_selected_vertices_without_prior_forwarding_prunes():
     r = assert_equivalent(g, labels, PATH_PATTERN, [selected_constraint()])
     assert r.pattern_found == [False]
     assert r.active_vertices == {}
+
+
+def test_rmat_cyclic_pattern():
+    """BASELINE config 3: cyclic pattern with NLCC token passing on RMAT.
+    Triangle template over degree labels with a cycle-closure constraint."""
+    g = _rmat_s11()
+    labels = degree_labels(g)
+    tri = make_pattern_tri()
+    c = NonLocalConstraint(
+        labels=np.array([4, 5, 6, 4], dtype=np.uint64),
+        indices=np.array([0, 1, 2, 0], dtype=np.int64),
+        cycle_length=2,
+        valid_cycle=True,
+        interleave_lcc=True,
+        selected_vertices=False,
+    )
+    r = assert_equivalent(g, labels, tri, [c])
+    # the constraint actually prunes and validates at this scale
+    assert r.iterations >= 1
+
+
+def _rmat_s11():
+    parts = [
+        generate_edges(
+            RmatParams(seed=5489 + 3 * r, vertex_scale=11,
+                       edge_count=(16 << 11) // 4, scramble=False)
+        )
+        for r in range(4)
+    ]
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    return from_edges(src, dst, num_vertices=1 << 11)
+
+
+def make_pattern_tri():
+    from test_oracle import make_pattern
+
+    return make_pattern(
+        [(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)],
+        [4, 5, 6],
+        diameter=2,
+    )
