@@ -266,20 +266,25 @@ class BucketedLccEngine:
             new_alive_parts.append(new_alive_b.reshape(-1))
             new_tv_parts.append(new_tv_seg)
 
-            own_seg = owner[seg_rows]
-            av_r = av_r + jax.ops.segment_sum(
-                (new_tv_seg != 0).astype(jnp.int32), own_seg,
-                num_segments=self.num_ranks,
-            )
-            own_rows = owner[rows]
-            ae_r = ae_r + jax.ops.segment_sum(
-                jnp.sum(new_alive_b, axis=1).astype(jnp.int32), own_rows,
-                num_segments=self.num_ranks,
-            )
-            msg_r = msg_r + jax.ops.segment_sum(
-                jnp.sum(send_ok, axis=1).astype(jnp.int32), own_rows,
-                num_segments=self.num_ranks,
-            )
+            if self.num_ranks == 1:
+                av_r = av_r + jnp.sum(new_tv_seg != 0, dtype=jnp.int32)[None]
+                ae_r = ae_r + jnp.sum(new_alive_b, dtype=jnp.int32)[None]
+                msg_r = msg_r + jnp.sum(send_ok, dtype=jnp.int32)[None]
+            else:
+                own_seg = owner[seg_rows]
+                av_r = av_r + jax.ops.segment_sum(
+                    (new_tv_seg != 0).astype(jnp.int32), own_seg,
+                    num_segments=self.num_ranks,
+                )
+                own_rows = owner[rows]
+                ae_r = ae_r + jax.ops.segment_sum(
+                    jnp.sum(new_alive_b, axis=1).astype(jnp.int32), own_rows,
+                    num_segments=self.num_ranks,
+                )
+                msg_r = msg_r + jax.ops.segment_sum(
+                    jnp.sum(send_ok, axis=1).astype(jnp.int32), own_rows,
+                    num_segments=self.num_ranks,
+                )
 
         new_alive_flat = jnp.concatenate(
             new_alive_parts + [jnp.zeros(1, dtype=bool)]
