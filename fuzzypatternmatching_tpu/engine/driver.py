@@ -87,10 +87,19 @@ class MatchEngine:
                 not_finished = True  # forced token passing (beta.cpp:691-696)
             if not_finished:
                 not_finished = False
-                tv, alive = self.lcc.state_to_global(state)
-                tv = tv.copy()
-                alive = alive.copy()
-                tp_flag = np.zeros(g.num_edges, dtype=bool)
+                # slot-space fast path: only the (small) alive edge set
+                # crosses the device boundary, never E-sized arrays
+                fast = hasattr(self.lcc, "alive_pairs")
+                if fast:
+                    tv = self.lcc.tv_host(state).copy()
+                    arow, acol = self.lcc.alive_pairs(state)
+                    alive = None
+                else:
+                    tv, alive = self.lcc.state_to_global(state)
+                    tv = tv.copy()
+                    alive = alive.copy()
+                tp_marks: list = []
+                tp_flag = None if fast else np.zeros(g.num_edges, dtype=bool)
                 # the pruned adjacency changes only via LCC; reuse it across
                 # constraints (deactivated vertices are filtered by the
                 # arrival checks, matching the reference's unreclaimed maps)
@@ -98,7 +107,12 @@ class MatchEngine:
                 for pl, c in enumerate(self.constraints):
                     t0 = time.perf_counter()
                     if acsr is None:
-                        acsr = AliveCsr.build(g, alive, tv != 0)
+                        if fast:
+                            acsr = AliveCsr.from_pairs(
+                                arow, acol, tv != 0, g.num_vertices
+                            )
+                        else:
+                            acsr = AliveCsr.build(g, alive, tv != 0)
                     if c.is_tds:
                         out = run_tds(
                             acsr, self.labels, tv, c, g.num_vertices,
@@ -122,21 +136,30 @@ class MatchEngine:
                     for v, p in out.edge_marks:
                         e = self._edge_index(v, p)
                         if e >= 0:
-                            tp_flag[e] = True
+                            if fast:
+                                tp_marks.append(e)
+                            else:
+                                tp_flag[e] = True
                     deleted = invalidate_sources(tv, c, out)
                     if deleted:
                         not_finished = True
                     live = tv != 0
                     av = int(live.sum())
-                    ae = int((alive & live[g.edge_row]).sum())
+                    if fast:
+                        live_rows = live[arow]
+                        ae = int(live_rows.sum())
+                        ae_rows = arow[live_rows]
+                    else:
+                        ae_mask = alive & live[g.edge_row]
+                        ae = int(ae_mask.sum())
+                        ae_rows = g.edge_row[np.nonzero(ae_mask)[0]]
                     owner = np.arange(g.num_vertices, dtype=np.int64) % self.num_ranks
                     per_rank = {
                         "av": np.bincount(
                             owner[live], minlength=self.num_ranks
                         ),
                         "ae": np.bincount(
-                            owner[g.edge_row[np.nonzero(alive & live[g.edge_row])[0]]],
-                            minlength=self.num_ranks,
+                            owner[ae_rows], minlength=self.num_ranks,
                         ),
                         "msg": out.msg_per_rank
                         if out.msg_per_rank is not None
@@ -150,28 +173,48 @@ class MatchEngine:
                     )
                     result.traversed_edges += out.messages
                     if deleted and c.interleave_lcc:
-                        state = self.lcc.state_from_global(tv, alive, tp_flag)
+                        if fast:
+                            state = self.lcc.with_updates(state, tv, tp_marks)
+                        else:
+                            state = self.lcc.state_from_global(tv, alive, tp_flag)
                         state, died = self._lcc_phase(state, False, itr, result)
                         if died:
                             not_finished = True
-                        tv, alive = self.lcc.state_to_global(state)
-                        tv = tv.copy()
-                        alive = alive.copy()
-                        tp_flag = np.zeros(g.num_edges, dtype=bool)
+                        if fast:
+                            tv = self.lcc.tv_host(state).copy()
+                            arow, acol = self.lcc.alive_pairs(state)
+                            tp_marks = []
+                        else:
+                            tv, alive = self.lcc.state_to_global(state)
+                            tv = tv.copy()
+                            alive = alive.copy()
+                            tp_flag = np.zeros(g.num_edges, dtype=bool)
                         acsr = None  # pruned adjacency changed
-                state = self.lcc.state_from_global(tv, alive, tp_flag)
+                if fast:
+                    state = self.lcc.with_updates(state, tv, tp_marks)
+                else:
+                    state = self.lcc.state_from_global(tv, alive, tp_flag)
             itr += 1
             if not not_finished or itr >= max_iterations:
                 break
 
         result.iterations = itr
-        tv, alive = self.lcc.state_to_global(state)
+        if hasattr(self.lcc, "alive_pairs"):
+            tv = self.lcc.tv_host(state)
+            arow, acol = self.lcc.alive_pairs(state)
+            live = tv != 0
+            keep = live[arow]
+            result.active_edges = {
+                (int(r), int(c)) for r, c in zip(arow[keep], acol[keep])
+            }
+        else:
+            tv, alive = self.lcc.state_to_global(state)
+            live = tv != 0
+            e_idx = np.nonzero(alive & live[g.edge_row])[0]
+            result.active_edges = {
+                (int(g.edge_row[e]), int(g.cols[e])) for e in e_idx
+            }
         live_idx = np.nonzero(tv)[0]
         result.active_vertices = {int(v): int(tv[v]) for v in live_idx}
-        live = tv != 0
-        e_idx = np.nonzero(alive & live[g.edge_row])[0]
-        result.active_edges = {
-            (int(g.edge_row[e]), int(g.cols[e])) for e in e_idx
-        }
         result.total_seconds = time.perf_counter() - t_start
         return result

@@ -380,9 +380,45 @@ class BucketedLccEngine:
     def state_to_global(self, state: BucketedState):
         tv = np.asarray(state.tv)
         packed = np.asarray(self._pack(state.alive))
-        al_flat = np.unpackbits(packed, count=self.num_slots + 1).astype(bool)
+        al_flat = np.unpackbits(packed, count=self.num_slots + 1).view(bool)
         edge_alive = al_flat[self._edge_to_slot]
         return tv, edge_alive
+
+    # -- slot-space fast path (avoids all E-sized host remaps) -------------
+
+    def tv_host(self, state: BucketedState) -> np.ndarray:
+        return np.asarray(state.tv)
+
+    def alive_pairs(self, state: BucketedState):
+        """(row, col) arrays of currently-alive slots, in CSR order within
+        each row — typically a tiny fraction of E after the first call."""
+        packed = np.asarray(self._pack(state.alive))
+        flat = np.unpackbits(packed, count=self.num_slots + 1).view(bool)
+        rows_parts, cols_parts = [], []
+        for b in self.buckets:
+            n, w = b.adj.shape
+            m = flat[b.slot_base : b.slot_base + n * w]
+            sel = np.nonzero(m)[0]
+            rows_parts.append(b.rows[sel // w])
+            cols_parts.append(b.adj.reshape(-1)[sel].astype(np.int64))
+        arow = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+        acol = np.concatenate(cols_parts) if cols_parts else np.empty(0, np.int64)
+        order = np.argsort(arow, kind="stable")
+        return arow[order], acol[order]
+
+    def with_updates(self, state: BucketedState, tv: np.ndarray, tp_marks):
+        """Replace tv and set token-passing success marks (slot flags)."""
+        flag = state.tp_flag
+        if tp_marks:
+            idx = np.array(
+                [self._edge_to_slot[e] for e in tp_marks], dtype=np.int64
+            )
+            flag = flag.at[jnp.asarray(idx)].set(True)
+        return BucketedState(
+            tv=jnp.asarray(tv.astype(np.uint32)),
+            alive=state.alive,
+            tp_flag=flag,
+        )
 
     def lcc_call(self, state: BucketedState, global_init_step: bool):
         call = self._call_init if global_init_step else self._call_cont

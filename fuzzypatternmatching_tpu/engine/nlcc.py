@@ -36,6 +36,19 @@ class AliveCsr:
     col: np.ndarray  # int64 [A]
 
     @classmethod
+    def from_pairs(
+        cls, arow: np.ndarray, acol: np.ndarray, live: np.ndarray,
+        num_vertices: int,
+    ) -> "AliveCsr":
+        """Build from (row, col) alive-slot pairs (already row-sorted)."""
+        mask = live[arow]
+        r, c = arow[mask], acol[mask]
+        counts = np.bincount(r, minlength=num_vertices)
+        ptr = np.zeros(num_vertices + 1, dtype=np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        return cls(ptr=ptr, col=c.astype(np.int64))
+
+    @classmethod
     def build(cls, graph: Graph, edge_alive: np.ndarray, live: np.ndarray) -> "AliveCsr":
         mask = edge_alive & live[graph.edge_row]
         arow = graph.edge_row[mask]
