@@ -220,29 +220,7 @@ class BucketedLccEngine:
         msg_r = jnp.zeros(self.num_ranks, dtype=jnp.int32)
         died = jnp.bool_(False)
 
-        if init:
-            # first superstep: messages along the full graph — one gather of
-            # sender candidates per inbox slot
-            tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])
-        else:
-            # later supersteps: build sender messages densely per slot
-            # (tv of the slot's own row, gated by the slot's alive flag),
-            # then deliver through the fixed reverse-edge permutation —
-            # ONE random gather per superstep instead of two (the random
-            # HBM gather is the dominant superstep cost at scale)
-            msg_parts = []
-            for bkt, (rows, adj, rev, valid, seg_id, seg_rows) in zip(
-                self.buckets, bucket_arrays
-            ):
-                n, w = adj.shape
-                base = bkt.slot_base
-                tv_rows = tv[seg_rows][seg_id]  # [n]
-                own_alive = alive[base : base + n * w].reshape(n, w)
-                m = jnp.where(own_alive, tv_rows[:, None], jnp.uint32(0))
-                msg_parts.append(m.reshape(-1))
-            sender_msg = jnp.concatenate(
-                msg_parts + [jnp.zeros(1, dtype=jnp.uint32)]
-            )
+        tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])
 
         for bkt, (rows, adj, rev, valid, seg_id, seg_rows) in zip(
             self.buckets, bucket_arrays
@@ -251,12 +229,11 @@ class BucketedLccEngine:
             n_seg = len(bkt.seg_rows)
             split = n_seg != n
             base = bkt.slot_base  # static python int
+            p_bits = tv_pad[adj]
             if init:
-                p_bits = tv_pad[adj]
                 send_ok = (p_bits != 0) & valid
             else:
-                p_bits = sender_msg[rev]
-                send_ok = p_bits != 0
+                send_ok = (p_bits != 0) & alive[rev]
             p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
             tv_seg = tv[seg_rows]  # per-vertex candidates [n_seg]
