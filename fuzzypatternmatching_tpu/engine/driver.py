@@ -52,6 +52,15 @@ class MatchEngine:
         self._edge_keys = graph.edge_row.astype(np.uint64) * np.uint64(
             graph.num_vertices
         ) + graph.cols.astype(np.uint64)
+        # compact continuation (run supersteps 1+ on the pruned subgraph) is
+        # exact only when every template vertex requires hearing at least
+        # one neighbor class; vertices with no alive edges then always die
+        self._compact_ok = bool(
+            np.all(
+                (pattern.edges_bitset != 0)
+                | (pattern.min_optional_edge_count > 0)
+            )
+        )
 
     def _edge_index(self, v: int, u: int) -> int:
         key = np.uint64(v) * np.uint64(self.graph.num_vertices) + np.uint64(u)
@@ -61,15 +70,96 @@ class MatchEngine:
         return -1
 
     def _lcc_phase(
-        self, state: LccState, global_init: bool, itr: int, result: MatchResult
-    ) -> tuple[LccState, bool]:
+        self, state, global_init: bool, itr: int, result: MatchResult,
+        allow_compact: bool = True,
+    ):
+        compactable = (
+            allow_compact
+            and self._compact_ok
+            and hasattr(self.lcc, "alive_pairs")
+            and isinstance(self.lcc, BucketedLccEngine)
+        )
+        if not compactable:
+            t0 = time.perf_counter()
+            state, rows, died = self.lcc.lcc_call(state, global_init)
+            dt = (time.perf_counter() - t0) / max(len(rows), 1)
+            self._emit_lp_rows_fresh(rows, dt, itr, result)
+            return state, died
+
+        # compact continuation: the init/first superstep runs on the full
+        # graph; the surviving edge set is typically a tiny fraction of E,
+        # so the remaining supersteps run on an engine rebuilt over the
+        # pruned subgraph — identical dynamics (see _compact_ok), a fraction
+        # of the cost.
+        from ..graph.csr import from_edges
+
         t0 = time.perf_counter()
-        state, rows, died = self.lcc.lcc_call(state, global_init)
-        dt = (time.perf_counter() - t0) / max(len(rows), 1)
+        died_any = False
+        rows_all = []
+        diameter = self.pattern.diameter
+        steps_left = diameter
+        if global_init:
+            state, r1, d1 = self.lcc.lcc_call(state, True, n_steps=1)
+            rows_all += r1
+            died_any = died_any or d1
+            steps_left -= 1
+        if steps_left > 0:
+            tv = self.lcc.tv_host(state)
+            arow, acol = self.lcc.alive_pairs(state)
+            if len(arow) == 0 or len(arow) > self.graph.num_edges // 4:
+                state, r2, d2 = self.lcc.lcc_call(
+                    state, False, n_steps=steps_left
+                )
+                rows_all += r2
+                died_any = died_any or d2
+            else:
+                # the subgraph is the SYMMETRIC CLOSURE of the alive set: a
+                # live sender edge (u,v) delivers into receiver slot (v,u)
+                # even when that slot itself is dead (its message still
+                # feeds tn; nonunique_ee.hpp:790-814), so dead-but-reachable
+                # slots must exist with alive=False
+                vv = np.uint64(self.graph.num_vertices)
+                keys = arow.astype(np.uint64) * vv + acol.astype(np.uint64)
+                rkeys = acol.astype(np.uint64) * vv + arow.astype(np.uint64)
+                union = np.union1d(keys, rkeys)
+                u_row = (union // vv).astype(np.int64)
+                u_col = (union % vv).astype(np.int64)
+                gsub = from_edges(u_row, u_col, num_vertices=self.graph.num_vertices)
+                sub = BucketedLccEngine(
+                    gsub, self.labels, self.pattern, num_ranks=self.num_ranks
+                )
+                # per-slot aliveness = membership in the original alive set
+                pos = np.searchsorted(keys, union)
+                pos_c = np.minimum(pos, len(keys) - 1)
+                is_alive_edge = keys[pos_c] == union  # per union edge id
+                sub_state = sub.state_from_edge_ids(
+                    tv, np.nonzero(is_alive_edge)[0]
+                )
+                sub_state, r2, d2 = sub.lcc_call(
+                    sub_state, False, n_steps=steps_left
+                )
+                rows_all += r2
+                died_any = died_any or d2
+                tv2 = sub.tv_host(sub_state)
+                a2r, a2c = sub.alive_pairs(sub_state)
+                state = self._state_from_pairs(tv2, a2r, a2c)
+        dt = (time.perf_counter() - t0) / max(len(rows_all), 1)
+        self._emit_lp_rows_fresh(rows_all, dt, itr, result)
+        return state, died_any
+
+    def _emit_lp_rows_fresh(self, rows, dt, itr, result):
         for s, (av, ae, msgs, per_rank) in enumerate(rows):
-            result.rows.append(PhaseRow(itr, "LP", s, av, ae, msgs, dt, per_rank))
+            result.rows.append(
+                PhaseRow(itr, "LP", s, av, ae, msgs, dt, per_rank)
+            )
             result.traversed_edges += msgs
-        return state, died
+
+    def _state_from_pairs(self, tv, arow, acol):
+        """Full-engine state with the alive set given as (row, col) pairs."""
+        keys = arow.astype(np.uint64) * np.uint64(self.graph.num_vertices) + acol.astype(np.uint64)
+        pos = np.searchsorted(self._edge_keys, keys)
+        eids = pos[self._edge_keys[np.minimum(pos, len(self._edge_keys) - 1)] == keys]
+        return self.lcc.state_from_edge_ids(tv, eids)
 
     def run(self, max_iterations: int = 100) -> MatchResult:
         t_start = time.perf_counter()
@@ -177,7 +267,12 @@ class MatchEngine:
                             state = self.lcc.with_updates(state, tv, tp_marks)
                         else:
                             state = self.lcc.state_from_global(tv, alive, tp_flag)
-                        state, died = self._lcc_phase(state, False, itr, result)
+                        # tp success marks live in the full-engine slot
+                        # space; compaction would drop them
+                        state, died = self._lcc_phase(
+                            state, False, itr, result,
+                            allow_compact=not tp_marks if fast else not tp_flag.any(),
+                        )
                         if died:
                             not_finished = True
                         if fast:

@@ -172,8 +172,7 @@ class BucketedLccEngine:
         self._step = jax.jit(
             partial(self._superstep), static_argnames=("init",)
         )
-        self._call_init = jax.jit(partial(self._call_impl, init=True))
-        self._call_cont = jax.jit(partial(self._call_impl, init=False))
+        self._call_cache = {}
         # bit-packed transfers: the flat alive array is ~S bytes as bool;
         # packing on device cuts the host<->device tunnel traffic 8x
         self._pack = jax.jit(lambda b: jnp.packbits(b))
@@ -305,11 +304,21 @@ class BucketedLccEngine:
 
     # ------------------------------------------------------------------
 
-    def _call_impl(self, tv, alive, flag, bucket_arrays, consts, *, init: bool):
-        """All ``diameter`` supersteps in one traced program: one host
-        round-trip per LCC call instead of one per superstep (the remote-TPU
+    def _get_call(self, init: bool, n_steps: int):
+        key = (init, n_steps)
+        if key not in self._call_cache:
+            self._call_cache[key] = jax.jit(
+                partial(self._call_impl, init=init, n_steps=n_steps)
+            )
+        return self._call_cache[key]
+
+    def _call_impl(
+        self, tv, alive, flag, bucket_arrays, consts, *, init: bool,
+        n_steps: int,
+    ):
+        """``n_steps`` supersteps in one traced program: one host round
+        trip per LCC call instead of one per superstep (the remote-TPU
         latency otherwise dominates the whole search)."""
-        n_steps = self.p.diameter
         stats_list = []
         if init:
             tv = consts["label_tv"]
@@ -383,6 +392,17 @@ class BucketedLccEngine:
         order = np.argsort(arow, kind="stable")
         return arow[order], acol[order]
 
+    def state_from_edge_ids(self, tv: np.ndarray, edge_ids: np.ndarray) -> BucketedState:
+        """State whose alive set is exactly the given original edge ids."""
+        al = np.zeros(self.num_slots + 1, dtype=bool)
+        al[self._edge_to_slot[edge_ids]] = True
+        al[-1] = False
+        return BucketedState(
+            tv=jnp.asarray(tv.astype(np.uint32)),
+            alive=self._unpack(jnp.asarray(np.packbits(al))),
+            tp_flag=jnp.zeros(self.num_slots + 1, dtype=bool),
+        )
+
     def with_updates(self, state: BucketedState, tv: np.ndarray, tp_marks):
         """Replace tv and set token-passing success marks (slot flags)."""
         flag = state.tp_flag
@@ -397,8 +417,13 @@ class BucketedLccEngine:
             tp_flag=flag,
         )
 
-    def lcc_call(self, state: BucketedState, global_init_step: bool):
-        call = self._call_init if global_init_step else self._call_cont
+    def lcc_call(
+        self, state: BucketedState, global_init_step: bool,
+        n_steps: int | None = None,
+    ):
+        if n_steps is None:
+            n_steps = self.p.diameter
+        call = self._get_call(global_init_step, n_steps)
         consts = {
             "owner": self.owner,
             "inv_perm": self._inv_perm,
