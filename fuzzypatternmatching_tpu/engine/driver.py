@@ -61,6 +61,7 @@ class MatchEngine:
                 | (pattern.min_optional_edge_count > 0)
             )
         )
+        self._sub_cache: tuple | None = None  # (fingerprint, engine)
 
     def _edge_index(self, v: int, u: int) -> int:
         key = np.uint64(v) * np.uint64(self.graph.num_vertices) + np.uint64(u)
@@ -124,10 +125,24 @@ class MatchEngine:
                 union = np.union1d(keys, rkeys)
                 u_row = (union // vv).astype(np.int64)
                 u_col = (union % vv).astype(np.int64)
-                gsub = from_edges(u_row, u_col, num_vertices=self.graph.num_vertices)
-                sub = BucketedLccEngine(
-                    gsub, self.labels, self.pattern, num_ranks=self.num_ranks
+                fp = (
+                    len(union),
+                    int(union[0]),
+                    int(union[-1]),
+                    int(union[len(union) // 2]),
+                    int(np.bitwise_xor.reduce(union[:: max(1, len(union) // 64)])),
                 )
+                if self._sub_cache is not None and self._sub_cache[0] == fp:
+                    sub = self._sub_cache[1]
+                else:
+                    gsub = from_edges(
+                        u_row, u_col, num_vertices=self.graph.num_vertices
+                    )
+                    sub = BucketedLccEngine(
+                        gsub, self.labels, self.pattern,
+                        num_ranks=self.num_ranks,
+                    )
+                    self._sub_cache = (fp, sub)
                 # per-slot aliveness = membership in the original alive set
                 pos = np.searchsorted(keys, union)
                 pos_c = np.minimum(pos, len(keys) - 1)
