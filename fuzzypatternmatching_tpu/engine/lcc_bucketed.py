@@ -17,8 +17,9 @@ the same skew the reference handles with delegate replication
 instead of cross-rank replication. The bucket count stays small (~9), which
 keeps the unrolled program compact for the compiler.
 
-All ``diameter`` supersteps of an LCC call run in a single jitted
-init+scan program — one host round trip per call.
+All supersteps of an LCC call run in a single jitted init+scan program —
+one host round trip per call (n_steps-parametrized for the driver's
+compact-continuation splitting).
 
 Semantics are identical to LccEngine (cross-tested); only the layout
 differs.
@@ -169,9 +170,6 @@ class BucketedLccEngine:
             )
             for b in self.buckets
         ]
-        self._step = jax.jit(
-            partial(self._superstep), static_argnames=("init",)
-        )
         self._call_cache = {}
         # bit-packed transfers: the flat alive array is ~S bytes as bool;
         # packing on device cuts the host<->device tunnel traffic 8x
