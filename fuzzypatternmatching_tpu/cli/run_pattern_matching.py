@@ -42,6 +42,8 @@ def main(argv=None):
     ap.add_argument("--pattern-set", type=int, default=1,
                     help="number of pattern subdirectories to search")
     ap.add_argument("--max-iterations", type=int, default=100)
+    ap.add_argument("--lcc-engine", choices=["bucketed", "flat", "sharded"],
+                    default="bucketed")
     args = ap.parse_args(argv)
 
     if args.backup:
@@ -75,7 +77,7 @@ def main(argv=None):
         t0 = time.time()
         engine = MatchEngine(
             graph, labels, pattern, constraints, num_ranks=num_ranks,
-            source_batch=args.batch,
+            source_batch=args.batch, lcc_engine=args.lcc_engine,
         )
         result = engine.run(max_iterations=args.max_iterations)
         print(

@@ -94,3 +94,23 @@ def test_explicit_labels_lcc_only(tmp_path):
     # 0(7)-1(8)-2(7)-3(8) chain survives; 4(7)-5(9) pruned
     vs = sorted(int(l.split(",")[1]) for l in av_lines)
     assert vs == [0, 1, 2, 3]
+
+
+def test_run_algorithms_cli(tmp_path, capsys):
+    from fuzzypatternmatching_tpu.cli import run_algorithms
+
+    ef = tmp_path / "edges.txt"
+    ef.write_text("0 1\n1 2\n2 0\n2 3\n")
+    db = str(tmp_path / "db")
+    ingest_edge_list.main(["-o", db, "-u", "-p", "1", str(ef)])
+    for algo, expect in [
+        ("bfs", "visited 4 vertices"),
+        ("cc", "components: 1"),
+        ("kcore", "2-core size: 3"),
+        ("triangles", "triangles: 1"),
+        ("pagerank", "top-5"),
+        ("sssp", "reached 4"),
+    ]:
+        run_algorithms.main([algo, "-i", db])
+        out = capsys.readouterr().out
+        assert expect in out, (algo, out)
