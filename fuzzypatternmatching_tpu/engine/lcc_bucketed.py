@@ -56,6 +56,8 @@ class BucketedState:
     tv: jax.Array  # uint32 [V]
     alive: jax.Array  # bool [S+1] flat slot-space (last slot always dead)
     tp_flag: jax.Array  # bool [S+1]
+    # memo for alive_pairs (the driver asks several times per phase)
+    pairs_cache: tuple | None = None
 
 
 class BucketedLccEngine:
@@ -376,6 +378,8 @@ class BucketedLccEngine:
     def alive_pairs(self, state: BucketedState):
         """(row, col) arrays of currently-alive slots, in CSR order within
         each row — typically a tiny fraction of E after the first call."""
+        if state.pairs_cache is not None:
+            return state.pairs_cache
         packed = np.asarray(self._pack(state.alive))
         flat = np.unpackbits(packed, count=self.num_slots + 1).view(bool)
         rows_parts, cols_parts = [], []
@@ -388,7 +392,8 @@ class BucketedLccEngine:
         arow = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
         acol = np.concatenate(cols_parts) if cols_parts else np.empty(0, np.int64)
         order = np.argsort(arow, kind="stable")
-        return arow[order], acol[order]
+        state.pairs_cache = (arow[order], acol[order])
+        return state.pairs_cache
 
     def state_from_edge_ids(self, tv: np.ndarray, edge_ids: np.ndarray) -> BucketedState:
         """State whose alive set is exactly the given original edge ids."""
