@@ -184,9 +184,14 @@ class MatchEngine:
         state = self.lcc.init_state()
         forwarded = ForwardedSets.empty()  # persists across constraints
         global_init = True
+        pending_marks = False  # TP success marks awaiting the next LCC call
         itr = 0
         while True:
-            state, not_finished = self._lcc_phase(state, global_init, itr, result)
+            state, not_finished = self._lcc_phase(
+                state, global_init, itr, result,
+                allow_compact=not pending_marks,
+            )
+            pending_marks = False
             global_init = False
             if itr == 0:
                 not_finished = True  # forced token passing (beta.cpp:691-696)
@@ -302,8 +307,10 @@ class MatchEngine:
                         acsr = None  # pruned adjacency changed
                 if fast:
                     state = self.lcc.with_updates(state, tv, tp_marks)
+                    pending_marks = bool(tp_marks)
                 else:
                     state = self.lcc.state_from_global(tv, alive, tp_flag)
+                    pending_marks = bool(tp_flag.any())
             itr += 1
             if not not_finished or itr >= max_iterations:
                 break
