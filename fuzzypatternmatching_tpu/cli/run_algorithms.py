@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default=None, help="write results here")
     args = ap.parse_args(argv)
 
+    from ..utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     g, _, edge_data = storage.load(args.input)
     print(f"opened graph: V={g.num_vertices} E={g.num_edges}")
     t0 = time.time()

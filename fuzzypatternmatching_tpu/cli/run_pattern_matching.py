@@ -46,6 +46,10 @@ def main(argv=None):
                     default="bucketed")
     args = ap.parse_args(argv)
 
+    from ..utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.backup:
         storage.transfer(args.backup, args.input)
     graph, stored_labels, _ = storage.load(args.input)
