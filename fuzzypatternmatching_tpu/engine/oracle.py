@@ -26,7 +26,6 @@ non-adversarial cases (acceptance only requires some walk to survive).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 
 import numpy as np
 
