@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--max-iterations", type=int, default=100)
     ap.add_argument("--lcc-engine", choices=["bucketed", "flat", "sharded"],
                     default="bucketed")
+    ap.add_argument("--output-vertex-data", action="store_true",
+                    help="dump all_ranks_vertex_data files (beta.cpp:379)")
     args = ap.parse_args(argv)
 
     from ..utils.jax_cache import enable_persistent_cache
@@ -64,6 +66,11 @@ def main(argv=None):
 
         with open(os.path.join(args.input, "meta.json")) as f:
             num_ranks = json.load(f)["num_shards"]
+
+    if args.output_vertex_data:
+        from ..io.results import write_vertex_data
+
+        write_vertex_data(args.output, labels, graph.raw_degree, num_ranks)
 
     pattern_set_path = os.path.join(args.output, "result_pattern_set")
     os.makedirs(args.output, exist_ok=True)

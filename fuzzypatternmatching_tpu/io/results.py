@@ -30,6 +30,26 @@ import numpy as np
 from ..engine.result import MatchResult
 
 
+def write_vertex_data(
+    out_dir: str, labels: np.ndarray, degrees: np.ndarray, num_ranks: int
+) -> None:
+    """Optional vertex-metadata dump (beta.cpp:379-404:
+    ``<out>/0/all_ranks_vertex_data/vertex_data_<r>`` with
+    "rank, l, vertex, degree, label" rows; the l/c/d locality codes are
+    collapsed to 'l' — there is no delegate distinction here)."""
+    base = os.path.join(out_dir, "0", "all_ranks_vertex_data")
+    os.makedirs(base, exist_ok=True)
+    outs = [
+        open(os.path.join(base, f"vertex_data_{r}"), "w")
+        for r in range(num_ranks)
+    ]
+    for v in range(len(labels)):
+        r = v % num_ranks
+        outs[r].write(f"{r}, l, {v}, {int(degrees[v])}, {int(labels[v])}\n")
+    for f in outs:
+        f.close()
+
+
 def write_results(
     out_dir: str,
     ps: int,
