@@ -58,11 +58,21 @@ class AliveCsr:
         np.cumsum(counts, out=ptr[1:])
         return cls(ptr=ptr, col=acol.astype(np.int64))
 
+    # token frontiers beyond this size abort with guidance rather than
+    # exhausting host memory (tds_batch's -x analog caps sources, not walks)
+    MAX_FRONTIER = 1 << 28
+
     def expand(self, vs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All alive neighbors of each vs[i]: returns (token_index, neighbor)
         with one row per (i, nbr) pair."""
         cnt = self.ptr[vs + 1] - self.ptr[vs]
         total = int(cnt.sum())
+        if total > self.MAX_FRONTIER:
+            raise MemoryError(
+                f"token frontier would reach {total} entries; re-run with a "
+                "smaller token-source batch (-x) or tighten the pattern's "
+                "local constraints"
+            )
         rep = np.repeat(np.arange(len(vs), dtype=np.int64), cnt)
         offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         nbr = self.col[self.ptr[vs][rep] + offs]
