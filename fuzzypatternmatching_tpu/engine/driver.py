@@ -3,9 +3,11 @@
 Mirrors run_pattern_matching_beta.cpp:544-1351: LCC call (diameter
 supersteps), forced token passing on iteration 0, per-constraint NLCC with
 source invalidation, interleaved LCC re-runs after source deletions, global
-fixpoint. LCC runs on the accelerator (engine/lcc.py); NLCC frontiers run as
-vectorized host supersteps (engine/nlcc.py); state crosses the boundary once
-per phase (a V-sized uint32 + an E-sized bool).
+fixpoint. LCC runs on the accelerator (engine/lcc.py); NLCC frontiers run
+either as vectorized host supersteps (engine/nlcc.py) or, when the expansion
+is big enough to amortize a program launch, as jitted device programs
+(engine/nlcc_device.py); state crosses the boundary once per phase (a
+V-sized uint32 + an E-sized bool).
 """
 
 from __future__ import annotations
@@ -19,7 +21,15 @@ from ..pattern.nonlocal_constraint import NonLocalConstraint
 from ..pattern.pattern_graph import PatternGraph
 from .lcc import LccEngine
 from .lcc_bucketed import BucketedLccEngine
-from .nlcc import AliveCsr, ForwardedSets, invalidate_sources, run_nem, run_tds
+from .nlcc import (
+    AliveCsr,
+    ForwardedSets,
+    invalidate_sources,
+    run_nem,
+    run_tds,
+    token_sources,
+)
+from .nlcc_device import DeviceNlcc
 from .result import MatchResult, PhaseRow
 
 
@@ -34,6 +44,8 @@ class MatchEngine:
         lcc_engine: str = "bucketed",
         mesh=None,
         source_batch: int = 1 << 16,
+        nlcc_mode: str = "auto",
+        nlcc_device_min: int = 1 << 19,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
@@ -41,6 +53,17 @@ class MatchEngine:
         self.constraints = constraints
         self.num_ranks = num_ranks
         self.source_batch = source_batch
+        # NLCC placement: "device" forces the jitted frontier programs
+        # (engine/nlcc_device.py), "host" forces vectorized numpy, "auto"
+        # keeps tiny frontiers on the host (one device program launch costs
+        # more than a sub-ms numpy pass) and moves big ones on-device
+        self.nlcc_mode = nlcc_mode
+        self.nlcc_device_min = nlcc_device_min
+        self._dev_nlcc = (
+            DeviceNlcc(graph.num_vertices, num_ranks=num_ranks)
+            if nlcc_mode in ("auto", "device") and graph.num_vertices < (1 << 31)
+            else None
+        )
         if lcc_engine == "sharded" or mesh is not None:
             from ..parallel.sharded import ShardedLccEngine
 
@@ -169,6 +192,21 @@ class MatchEngine:
             )
             result.traversed_edges += msgs
 
+    def _nlcc_on_device(
+        self, acsr: AliveCsr, c: NonLocalConstraint, tv: np.ndarray
+    ) -> bool:
+        """Place one constraint run. A jitted frontier program pays a fixed
+        dispatch (and one-time compile) cost, so "auto" moves a constraint
+        on-device only when the first token expansion is big enough to
+        amortize it; tiny tree-corpus frontiers stay on the host."""
+        if self._dev_nlcc is None or self.nlcc_mode == "host":
+            return False
+        if self.nlcc_mode == "device":
+            return True
+        sources = token_sources(c, self.labels, tv)
+        work = self._dev_nlcc._first_expansion(acsr, sources)
+        return work >= self.nlcc_device_min
+
     def _state_from_pairs(self, tv, arow, acol):
         """Full-engine state with the alive set given as (row, col) pairs."""
         keys = arow.astype(np.uint64) * np.uint64(self.graph.num_vertices) + acol.astype(np.uint64)
@@ -223,12 +261,18 @@ class MatchEngine:
                             )
                         else:
                             acsr = AliveCsr.build(g, alive, tv != 0)
+                    use_dev = self._nlcc_on_device(acsr, c, tv)
                     if c.is_tds:
-                        out = run_tds(
-                            acsr, self.labels, tv, c, g.num_vertices,
-                            source_batch=self.source_batch,
-                            num_ranks=self.num_ranks,
-                        )
+                        if use_dev:
+                            out = self._dev_nlcc.run_tds(
+                                acsr, self.labels, tv, c, g.num_vertices
+                            )
+                        else:
+                            out = run_tds(
+                                acsr, self.labels, tv, c, g.num_vertices,
+                                source_batch=self.source_batch,
+                                num_ranks=self.num_ranks,
+                            )
                         if out.subgraphs is not None and len(out.subgraphs):
                             result.subgraphs.setdefault(pl, []).extend(
                                 map(tuple, out.subgraphs.tolist())
@@ -237,10 +281,16 @@ class MatchEngine:
                             result.subgraphs.setdefault(pl, [])
                     else:
                         forwarded.reset_for(c, self.labels, tv, g.num_vertices)
-                        out = run_nem(
-                            acsr, self.labels, tv, c, g.num_vertices,
-                            num_ranks=self.num_ranks, forwarded=forwarded,
-                        )
+                        if use_dev:
+                            out = self._dev_nlcc.run_nem(
+                                acsr, self.labels, tv, c, g.num_vertices,
+                                forwarded=forwarded,
+                            )
+                        else:
+                            out = run_nem(
+                                acsr, self.labels, tv, c, g.num_vertices,
+                                num_ranks=self.num_ranks, forwarded=forwarded,
+                            )
                     if bool(out.validated.any()):
                         result.pattern_found[pl] = True
                     for v, p in out.edge_marks:
