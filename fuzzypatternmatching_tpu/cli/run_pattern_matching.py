@@ -40,7 +40,8 @@ def main(argv=None):
     ap.add_argument("-x", "--batch", type=int, default=1 << 16,
                     help="token-source batch size (TDS)")
     ap.add_argument("--pattern-set", type=int, default=1,
-                    help="number of pattern subdirectories to search")
+                    help="number of pattern subdirectories to search "
+                         "(0 = every numbered subdirectory present)")
     ap.add_argument("--max-iterations", type=int, default=100)
     ap.add_argument("--lcc-engine", choices=["bucketed", "flat", "sharded"],
                     default="bucketed")
@@ -77,7 +78,23 @@ def main(argv=None):
     if os.path.exists(pattern_set_path):
         os.remove(pattern_set_path)
 
-    for ps in range(args.pattern_set):
+    available = sorted(
+        int(d) for d in os.listdir(args.pattern_dir)
+        if d.isdigit() and os.path.isdir(os.path.join(args.pattern_dir, d))
+    )
+    if args.pattern_set == 0:
+        pattern_sets = available
+    else:
+        pattern_sets = list(range(args.pattern_set))
+        missing = [p for p in pattern_sets if p not in available]
+        if missing:
+            ap.error(
+                f"pattern subdirectories {missing} not found under "
+                f"{args.pattern_dir} (available: {available}); "
+                "use --pattern-set 0 to search every set present"
+            )
+
+    for ps in pattern_sets:
         prefix = os.path.join(args.pattern_dir, str(ps), "pattern")
         pattern = load_pattern_graph(prefix)
         constraints = load_nonlocal_constraints(prefix, pattern.vertex_data)

@@ -262,16 +262,23 @@ class MatchEngine:
                         else:
                             acsr = AliveCsr.build(g, alive, tv != 0)
                     use_dev = self._nlcc_on_device(acsr, c, tv)
+                    # driver-level forwarded-set clearing runs before EVERY
+                    # constraint: non-selected runs wipe the sets, selected
+                    # ones keep only active final-label vertices
+                    # (beta.cpp:791-852)
+                    forwarded.reset_for(c, self.labels, tv, g.num_vertices)
                     if c.is_tds:
                         if use_dev:
                             out = self._dev_nlcc.run_tds(
-                                acsr, self.labels, tv, c, g.num_vertices
+                                acsr, self.labels, tv, c, g.num_vertices,
+                                forwarded=forwarded,
                             )
                         else:
                             out = run_tds(
                                 acsr, self.labels, tv, c, g.num_vertices,
                                 source_batch=self.source_batch,
                                 num_ranks=self.num_ranks,
+                                forwarded=forwarded,
                             )
                         if out.subgraphs is not None and len(out.subgraphs):
                             result.subgraphs.setdefault(pl, []).extend(
@@ -280,7 +287,6 @@ class MatchEngine:
                         else:
                             result.subgraphs.setdefault(pl, [])
                     else:
-                        forwarded.reset_for(c, self.labels, tv, g.num_vertices)
                         if use_dev:
                             out = self._dev_nlcc.run_nem(
                                 acsr, self.labels, tv, c, g.num_vertices,

@@ -229,6 +229,26 @@ def run_nem(
     return NlccOutcome(map_keys if c.selected_vertices else sources, validated, messages, edge_marks, None, msg_r)
 
 
+def tds_start_pairs(
+    c: NonLocalConstraint,
+    sources: np.ndarray,
+    forwarded: ForwardedSets | None,
+    num_vertices: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(start, expected-target) pairs. Normally target == start; in
+    selected-vertices mode each source emits one token per remembered
+    original source (tds_batch_1.hpp:439-441, 494-500)."""
+    if not c.selected_vertices:
+        return sources, sources
+    if forwarded is None or len(forwarded.keys) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    v_of = forwarded.keys // np.int64(num_vertices)
+    t_of = forwarded.keys % np.int64(num_vertices)
+    keep = np.isin(v_of, sources)
+    return v_of[keep], t_of[keep]
+
+
 def run_tds(
     acsr: AliveCsr,
     labels: np.ndarray,
@@ -238,24 +258,27 @@ def run_tds(
     source_batch: int = 1 << 16,
     collect_subgraphs: bool = True,
     num_ranks: int = 1,
+    forwarded: ForwardedSets | None = None,
 ) -> NlccOutcome:
     """TDS enumeration walk with full history
     (tds_batch_1.hpp:560-930, 1149-1303)."""
     sources = token_sources(c, labels, tv)
     validated = np.zeros(len(sources), dtype=bool)
     src_pos = {int(s): i for i, s in enumerate(sources)}
+    starts, targets = tds_start_pairs(c, sources, forwarded, num_vertices)
     maxi = c.cycle_length
     enum = c.enumeration
     messages = 0
     msg_r = np.zeros(num_ranks, dtype=np.int64)
     sub_parts: list[np.ndarray] = []
 
-    for lo in range(0, max(len(sources), 1), source_batch):
-        batch = sources[lo : lo + source_batch]
+    for lo in range(0, max(len(starts), 1), source_batch):
+        batch = starts[lo : lo + source_batch]
+        btgt = targets[lo : lo + source_batch]
         if len(batch) == 0:
             continue
         rep, nbr = acsr.expand(batch)
-        cur, src = nbr, batch[rep]
+        cur, tgt = nbr, btgt[rep]
         visited = batch[rep][:, None]  # positions 0..h-1 per token
         for h in range(1, maxi + 2):
             messages += len(cur)
@@ -265,15 +288,19 @@ def run_tds(
             ok = _arrival_ok(cur, labels, tv, c, h)
             if h == maxi + 1:
                 if not c.valid_cycle:
-                    acc = ok & (cur != src)
+                    acc = ok & (cur != tgt)
+                    emit = acc  # path writes before the ack (…hpp:684-696)
                 else:
-                    acc = ok & (cur == src) & (visited[:, 0] == cur)
-                for s in np.unique(src[acc]):
-                    validated[src_pos[int(s)]] = True
-                if collect_subgraphs and np.any(acc):
+                    acc = ok & (cur == tgt) & (visited[:, 0] == cur)
+                    # cycle writes only after the map lookup succeeds
+                    emit = acc & np.isin(tgt, sources)
+                for s in np.unique(tgt[acc]):
+                    if int(s) in src_pos:
+                        validated[src_pos[int(s)]] = True
+                if collect_subgraphs and np.any(emit):
                     sub_parts.append(
                         np.hstack(
-                            [visited[acc], cur[acc, None], cur[acc, None]]
+                            [visited[emit], cur[emit, None], cur[emit, None]]
                         )
                     )
                 break
@@ -286,17 +313,17 @@ def run_tds(
                 ok &= visited[:, k] == cur
             else:
                 ok &= False
-            cur, src, visited = cur[ok], src[ok], visited[ok]
+            cur, tgt, visited = cur[ok], tgt[ok], visited[ok]
             visited2 = np.hstack([visited, cur[:, None]])
             rep, nbr = acsr.expand(cur)
-            src_r, vis_r = src[rep], visited2[rep]
+            tgt_r, vis_r = tgt[rep], visited2[rep]
             if h == maxi:
                 # penultimate hop (tds_batch_1.hpp:806-846)
                 if c.valid_cycle:
-                    keep = nbr == src_r  # cycle closes on the source; no enum
-                    cur, src, visited = nbr[keep], src_r[keep], vis_r[keep]
+                    keep = nbr == tgt_r  # cycle closes on the target; no enum
+                    cur, tgt, visited = nbr[keep], tgt_r[keep], vis_r[keep]
                     continue
-                keep = nbr != src_r
+                keep = nbr != tgt_r
             else:
                 keep = np.ones(len(nbr), dtype=bool)
             k2 = int(enum[h + 1])
@@ -306,7 +333,7 @@ def run_tds(
                 keep &= vis_r[:, k2] == nbr
             else:
                 keep &= False
-            cur, src, visited = nbr[keep], src_r[keep], vis_r[keep]
+            cur, tgt, visited = nbr[keep], tgt_r[keep], vis_r[keep]
 
     subgraphs = (
         np.vstack(sub_parts)

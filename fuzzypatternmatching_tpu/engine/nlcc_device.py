@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..pattern.nonlocal_constraint import NonLocalConstraint
-from .nlcc import AliveCsr, ForwardedSets, NlccOutcome, token_sources
+from .nlcc import (
+    AliveCsr,
+    ForwardedSets,
+    NlccOutcome,
+    tds_start_pairs,
+    token_sources,
+)
 
 _SENT = np.int64(np.iinfo(np.int64).max)
 
@@ -189,7 +195,7 @@ class DeviceNlcc:
     # -- tds program ---------------------------------------------------------
 
     def _tds_prog(
-        self, ptr, col, ok_bits, sources, n_src,
+        self, ptr, col, ok_bits, sources, targets, n_src,
         *, maxi: int, valid_cycle: bool, enum: tuple, cap: int, apad: int,
         collect: bool,
     ):
@@ -199,8 +205,12 @@ class DeviceNlcc:
         tok, nbr, valid, overflow = self._expand(
             ptr, col, sources, src_valid, cap, apad
         )
-        cur, src = nbr, sources[tok]
-        visited = jnp.zeros((cap, W), dtype=jnp.int32).at[:, 0].set(src)
+        # the walk start lives in visited[:, 0]; tgt is the expected target
+        # (== start unless selected-vertices, tds_batch_1.hpp:494-500)
+        cur, tgt = nbr, targets[tok]
+        visited = jnp.zeros((cap, W), dtype=jnp.int32).at[:, 0].set(
+            sources[tok]
+        )
         messages = jnp.int64(0)
         msg_r = jnp.zeros(self.R, dtype=jnp.int64)
         validated = jnp.zeros(V, dtype=bool)
@@ -213,11 +223,15 @@ class DeviceNlcc:
             ok = valid & (((ok_bits[cur] >> h) & 1) != 0)
             if h == maxi + 1:
                 if not valid_cycle:
-                    acc = ok & (cur != src)
+                    acc = ok & (cur != tgt)
+                    sub_acc = acc  # path writes before the ack
                 else:
-                    acc = ok & (cur == src) & (visited[:, 0] == cur)
-                validated = validated.at[src].max(acc, mode="drop")
-                sub_acc = acc
+                    acc = ok & (cur == tgt) & (visited[:, 0] == cur)
+                    # cycle writes only when the target is in the map
+                    sub_acc = acc & (((ok_bits[tgt] >> 0) & 1) != 0)
+                # scatter at non-source targets is harmless: the outcome
+                # only reads source positions
+                validated = validated.at[tgt].max(acc, mode="drop")
                 break
             # receiver-side enumeration rule (tds_batch_1.hpp:620-639)
             k = int(enum[h])
@@ -230,13 +244,13 @@ class DeviceNlcc:
             visited = visited.at[:, h].set(cur)
             tok, nbr, valid, ovf = self._expand(ptr, col, cur, ok, cap, apad)
             overflow = overflow | ovf
-            src, visited, cur = src[tok], visited[tok], nbr
+            tgt, visited, cur = tgt[tok], visited[tok], nbr
             if h == maxi:
                 # penultimate hop (tds_batch_1.hpp:806-846)
                 if valid_cycle:
-                    valid = valid & (nbr == src)  # must close on the source
+                    valid = valid & (nbr == tgt)  # must close on the target
                     continue
-                keep = nbr != src
+                keep = nbr != tgt
             else:
                 keep = jnp.ones_like(valid)
             k2 = int(enum[h + 1])
@@ -269,10 +283,12 @@ class DeviceNlcc:
 
     def _ok_bits(self, labels, tv, c: NonLocalConstraint) -> np.ndarray:
         """Per-vertex uint32 bitmask: bit h set iff the vertex passes the
-        hop-h arrival check (label + template-vertex bit). tv is fixed for
-        the duration of one constraint run, so this is precomputable."""
+        hop-h arrival check (label + template-vertex bit); bit 0 set iff it
+        qualifies as a token source (the token_source_map membership test).
+        tv is fixed for the duration of one constraint run, so this is
+        precomputable."""
         bits = np.zeros(self.V, dtype=np.uint32)
-        for h in range(1, c.cycle_length + 2):
+        for h in range(0, c.cycle_length + 2):
             ok = (labels == c.labels[h]) & (
                 ((tv >> int(c.indices[h])) & 1) != 0
             )
@@ -362,21 +378,25 @@ class DeviceNlcc:
         c: NonLocalConstraint,
         num_vertices: int,
         collect_subgraphs: bool = True,
+        forwarded: ForwardedSets | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
         sources = token_sources(c, labels, tv)
+        starts, targets = tds_start_pairs(c, sources, forwarded, self.V)
         ptr, col, apad = self.prepare(acsr)
         maxi = c.cycle_length
-        cap = _pow2(self._first_expansion(acsr, sources))
-        spad = _pow2(len(sources), lo=8)
+        cap = _pow2(self._first_expansion(acsr, starts))
+        spad = _pow2(len(starts), lo=8)
         src_pad = np.zeros(spad, dtype=np.int32)
-        src_pad[: len(sources)] = sources
+        src_pad[: len(starts)] = starts
+        tgt_pad = np.zeros(spad, dtype=np.int32)
+        tgt_pad[: len(starts)] = targets
         ok_bits = self._ok_bits(labels, tv, c)
 
         with jax.enable_x64(True):
             args = (
                 ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_pad),
-                jnp.int32(len(sources)),
+                jnp.asarray(tgt_pad), jnp.int32(len(starts)),
             )
             while True:
                 prog = self._get(

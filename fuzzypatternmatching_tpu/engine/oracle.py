@@ -211,11 +211,9 @@ class MatchOracle:
 
     def nlcc_call(self, c: NonLocalConstraint, pl: int, result: MatchResult):
         """One token-passing run. Returns (token_source_map, messages)."""
-        if c.selected_vertices and c.is_tds:
-            raise NotImplementedError("selected-vertices TDS")
         self._reset_token_source_sets(c)
         sources = self._token_sources(c)
-        if c.selected_vertices:
+        if c.selected_vertices and not c.is_tds:
             # the map holds destinations only: every active final-label
             # vertex (nem_1.hpp:414-432); validation marks destinations
             lbl_last = int(c.labels[-1])
@@ -234,9 +232,23 @@ class MatchOracle:
         # position-0 send along alive edges (nem_1.hpp:479-525; TDS
         # tds_batch_1.hpp:424-520)
         if c.is_tds:
-            inflight = [
-                (int(nbr), src, src, (src,)) for src in sources for nbr in self.alive[src]
-            ]
+            # token = (v, src, parent, visited, target). Normally target ==
+            # src; in selected-vertices mode each source emits one token per
+            # remembered original source with that as the expected target
+            # (tds_batch_1.hpp:494-500)
+            if c.selected_vertices:
+                inflight = [
+                    (int(nbr), src, src, (src,), t)
+                    for src in sources
+                    for t in sorted(self.token_source_sets.get(src, ()))
+                    for nbr in self.alive[src]
+                ]
+            else:
+                inflight = [
+                    (int(nbr), src, src, (src,), src)
+                    for src in sources
+                    for nbr in self.alive[src]
+                ]
         else:
             inflight = [(int(nbr), src, src) for src in sources for nbr in self.alive[src]]
 
@@ -276,6 +288,27 @@ class MatchOracle:
             if final:
                 for tok in arrivals:
                     v, src, parent = tok[0], tok[1], tok[2]
+                    if c.is_tds:
+                        # acceptance compares against the token's expected
+                        # target (== src unless selected-vertices,
+                        # tds_batch_1.hpp:664-745)
+                        visited, tgt = tok[3], tok[4]
+                        if not c.valid_cycle:
+                            if v == tgt:
+                                continue
+                            # path: emit before the ack; the ack validates
+                            # the target only if it is in the map
+                            subgraphs.append(visited + (v, v))
+                            if tgt in token_source_map:
+                                token_source_map[tgt] = True
+                        else:
+                            if v != tgt or visited[0] != v:
+                                continue
+                            if tgt not in token_source_map:
+                                continue
+                            token_source_map[tgt] = True
+                            subgraphs.append(visited + (v, v))
+                        continue
                     if not c.valid_cycle:
                         if v == src:
                             continue  # invalid cycle for a path constraint
@@ -290,17 +323,11 @@ class MatchOracle:
                                 token_source_map[v] = True
                             continue
                         token_source_map[src] = True
-                        if c.is_tds:
-                            subgraphs.append(tok[3] + (v, v))
                     else:
                         if v != src:
                             continue
-                        if c.is_tds and tok[3][0] != v:
-                            continue
                         token_source_map[src] = True
-                        if c.is_tds:
-                            subgraphs.append(tok[3] + (v, v))
-                        elif parent in self.alive[v]:
+                        if parent in self.alive[v]:
                             # mark the edge the winning token came in on
                             # (nem_1.hpp:762-770)
                             self.alive[v][parent] = 1
@@ -309,21 +336,21 @@ class MatchOracle:
             nxt = []
             if c.is_tds:
                 # no per-(vertex,source) dedup in TDS — full enumeration
-                for v, src, parent, visited in arrivals:
+                for v, src, parent, visited, tgt in arrivals:
                     visited2 = visited + (v,)
                     for nbr in self.alive[v]:
                         if h == maxi:
                             # penultimate hop (tds_batch_1.hpp:806-846):
-                            # cycle — only forward to the source, and skip
-                            # the enumeration check (the closure is a dup of
-                            # visited[0] by construction); path — never to
-                            # the source, enumeration check applies.
+                            # cycle — only forward to the expected target,
+                            # and skip the enumeration check (the closure is
+                            # a dup of visited[0] by construction); path —
+                            # never to the target, enumeration check applies.
                             if c.valid_cycle:
-                                if nbr != src:
+                                if nbr != tgt:
                                     continue
-                                nxt.append((int(nbr), src, v, visited2))
+                                nxt.append((int(nbr), src, v, visited2, tgt))
                                 continue
-                            if nbr == src:
+                            if nbr == tgt:
                                 continue
                         k = int(c.enumeration[h + 1])
                         if k == h + 1:
@@ -334,7 +361,7 @@ class MatchOracle:
                                 continue
                         else:
                             continue
-                        nxt.append((int(nbr), src, v, visited2))
+                        nxt.append((int(nbr), src, v, visited2, tgt))
             else:
                 # group same-superstep arrivals by (v, src); min-parent wins
                 best: dict[tuple[int, int], int] = {}

@@ -175,6 +175,105 @@ def test_selected_vertices_without_prior_forwarding_prunes():
     assert r.active_vertices == {}
 
 
+UNI_PATTERN = None  # built lazily (make_pattern imported from test_oracle)
+
+
+def _uni_pattern():
+    global UNI_PATTERN
+    if UNI_PATTERN is None:
+        from test_oracle import make_pattern
+
+        UNI_PATTERN = make_pattern([(0, 1), (1, 0)], [1, 1], diameter=2)
+    return UNI_PATTERN
+
+
+def uniform_path_nem():
+    return NonLocalConstraint(
+        labels=np.array([1, 1, 1], dtype=np.uint64),
+        indices=np.array([0, 1, 0], dtype=np.int64),
+        cycle_length=1,
+        valid_cycle=False,
+        interleave_lcc=True,
+        selected_vertices=False,
+    )
+
+
+def tds_selected_constraint(valid_cycle=False, cycle_length=1):
+    # selected-vertices TDS: walks start at sources holding forwarded keys,
+    # one token per remembered original source as the expected target
+    return NonLocalConstraint(
+        labels=np.array([1] * (cycle_length + 2), dtype=np.uint64),
+        indices=np.array(
+            [0] + list(range(1, cycle_length + 1)) + [0], dtype=np.int64
+        ),
+        cycle_length=cycle_length,
+        valid_cycle=valid_cycle,
+        interleave_lcc=True,
+        selected_vertices=True,
+        enumeration=np.arange(cycle_length + 2, dtype=np.int64),
+        is_tds=True,
+    )
+
+
+def test_tds_selected_path_on_square():
+    # uniform labels: the nem path run makes every vertex forward every
+    # neighbor's token; the selected TDS then walks from each (holder,
+    # remembered source) pair and validates the remembered sources
+    src, dst = undirected([(0, 1), (1, 2), (2, 3), (3, 0)])
+    g = from_edges(src, dst, num_vertices=4)
+    labels = np.ones(4, dtype=np.uint64)
+    pat = _uni_pattern()
+    r = assert_equivalent(
+        g, labels, pat, [uniform_path_nem(), tds_selected_constraint()]
+    )
+    assert r.pattern_found == [True, True]
+    assert len(r.subgraphs[1]) > 0
+
+
+def test_tds_selected_cycle_never_self_validates():
+    # a vertex never forwards its own token, so (v, v) keys do not exist
+    # and cycle acceptance (final == target == walk start) cannot fire:
+    # the selected cycle TDS prunes everything, identically in both engines
+    src, dst = undirected([(0, 1), (1, 2), (2, 0)])
+    g = from_edges(src, dst, num_vertices=3)
+    labels = np.ones(3, dtype=np.uint64)
+    pat = _uni_pattern()
+    r = assert_equivalent(
+        g,
+        labels,
+        pat,
+        [uniform_path_nem(), tds_selected_constraint(valid_cycle=True, cycle_length=2)],
+    )
+    assert r.pattern_found[1] is False
+
+
+def test_nonselected_tds_clears_forwarded_sets():
+    # [nem, tds, selected]: the non-selected TDS run must wipe the
+    # forwarded sets (beta.cpp:791-793), so the trailing selected
+    # constraint sees nothing and prunes — engine must track the oracle
+    src, dst = undirected([(0, 1), (1, 2), (2, 3), (3, 0)])
+    g = from_edges(src, dst, num_vertices=4)
+    labels = np.array([1, 2, 1, 2], dtype=np.uint64)
+    r = assert_equivalent(
+        g,
+        labels,
+        PATH_PATTERN,
+        [path_constraint(), tds_constraint(), selected_constraint()],
+    )
+    assert r.pattern_found[2] is False
+    assert r.active_vertices == {}
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_tds_selected_random_graphs(seed):
+    g = _random_graph(seed, v=32, e=96)
+    labels = np.ones(32, dtype=np.uint64)
+    pat = _uni_pattern()
+    assert_equivalent(
+        g, labels, pat, [uniform_path_nem(), tds_selected_constraint()]
+    )
+
+
 def test_rmat_cyclic_pattern():
     """BASELINE config 3: cyclic pattern with NLCC token passing on RMAT.
     Triangle template over degree labels with a cycle-closure constraint."""

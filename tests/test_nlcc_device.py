@@ -21,7 +21,13 @@ from fuzzypatternmatching_tpu.pattern.nonlocal_constraint import (
 )
 from fuzzypatternmatching_tpu.pattern.pattern_graph import load_pattern_graph
 
-from test_engine_vs_oracle import _random_graph, selected_constraint
+from test_engine_vs_oracle import (
+    _random_graph,
+    _uni_pattern,
+    selected_constraint,
+    tds_selected_constraint,
+    uniform_path_nem,
+)
 from test_oracle import (
     PATH_PATTERN,
     TRI_PATTERN,
@@ -133,6 +139,38 @@ def test_selected_vertices_aggregation_matches_host():
         dev = devn.run_nem(acsr, labels, tv, c, 4, forwarded=f_d)
         _assert_outcome_equal(host, dev)
         assert np.array_equal(f_h.keys, f_d.keys)
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_tds_selected_matches_host(seed):
+    # populate forwarded sets with a uniform-label nem run, then cross-check
+    # the selected TDS walk device vs host with the same sets
+    g = _random_graph(seed, v=32, e=96)
+    labels = np.ones(32, dtype=np.uint64)
+    c0, c1 = uniform_path_nem(), tds_selected_constraint()
+    tv = _tv_for(labels, [c0], 32)
+    acsr = _full_acsr(g)
+    f_h, f_d = ForwardedSets.empty(), ForwardedSets.empty()
+    devn = DeviceNlcc(32, num_ranks=2)
+    host0 = run_nem(acsr, labels, tv, c0, 32, num_ranks=2, forwarded=f_h)
+    dev0 = devn.run_nem(acsr, labels, tv, c0, 32, forwarded=f_d)
+    _assert_outcome_equal(host0, dev0)
+    f_h.reset_for(c1, labels, tv, 32)
+    f_d.reset_for(c1, labels, tv, 32)
+    host1 = run_tds(acsr, labels, tv, c1, 32, num_ranks=2, forwarded=f_h)
+    dev1 = devn.run_tds(acsr, labels, tv, c1, 32, forwarded=f_d)
+    assert host1.validated.any()  # the mode actually validates here
+    _assert_outcome_equal(host1, dev1)
+
+
+def test_driver_device_mode_tds_selected():
+    g = _random_graph(23, v=32, e=96)
+    labels = np.ones(32, dtype=np.uint64)
+    pat = _uni_pattern()
+    cs = [uniform_path_nem(), tds_selected_constraint()]
+    host_r = MatchEngine(g, labels, pat, cs, nlcc_mode="host").run()
+    dev_r = MatchEngine(g, labels, pat, cs, nlcc_mode="device").run()
+    _results_equal(host_r, dev_r)
 
 
 def test_capacity_overflow_retry_is_exact():
