@@ -146,6 +146,25 @@ class BucketedLccEngine:
             rv_flat[np.nonzero(mask)[0]] = tmp
             b.rev = rv_flat.reshape(b.adj.shape)
 
+        # --- init-superstep label codes -------------------------------------
+        # At the global init superstep tv == label_match_bitset(labels), so
+        # the E-sized random gather tv_pad[adj] is a pure function of the
+        # neighbor's label. Precompute a small-int label index per slot
+        # (pattern-independent graph metadata, like the reference's
+        # vertex_data_db) and replay it at init as one vectorized select per
+        # distinct template label — streaming HBM reads, no random access.
+        uniq_labels, inv_lab = np.unique(np.asarray(labels), return_inverse=True)
+        code_dtype = np.uint8 if len(uniq_labels) <= 255 else np.uint16
+        code_pad = np.zeros(v + 1, dtype=code_dtype)
+        code_pad[:v] = (inv_lab + 1).astype(code_dtype)
+        self._adj_codes = [code_pad[b.adj] for b in self.buckets]
+        lab_tv_uniq = pattern.label_match_bitset(uniq_labels)
+        self._init_pairs = [
+            (code_dtype(j + 1), np.uint32(bits))
+            for j, bits in enumerate(lab_tv_uniq)
+            if bits
+        ]
+
         # --- device constants ---------------------------------------------
         self.k = pattern.vertex_count
         self.adj_all = jnp.asarray(pattern.edges_bitset_all, dtype=jnp.uint32)
@@ -169,8 +188,9 @@ class BucketedLccEngine:
                 jnp.asarray(b.valid),
                 jnp.asarray(b.seg_id, dtype=jnp.int32),
                 jnp.asarray(b.seg_rows, dtype=jnp.int32),
+                jnp.asarray(code),
             )
-            for b in self.buckets
+            for b, code in zip(self.buckets, self._adj_codes)
         ]
         self._call_cache = {}
         # bit-packed transfers: the flat alive array is ~S bytes as bool;
@@ -221,19 +241,28 @@ class BucketedLccEngine:
 
         tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])
 
-        for bkt, (rows, adj, rev, valid, seg_id, seg_rows) in zip(
+        for bkt, (rows, adj, rev, valid, seg_id, seg_rows, adj_code) in zip(
             self.buckets, bucket_arrays
         ):
             n, w = adj.shape
             n_seg = len(bkt.seg_rows)
             split = n_seg != n
             base = bkt.slot_base  # static python int
-            p_bits = tv_pad[adj]
             if init:
-                send_ok = (p_bits != 0) & valid
+                # tv == label_tv at init: rebuild the neighbor bitsets from
+                # the precomputed label codes (a few selects; padding and
+                # non-template labels are code-mismatches -> 0) instead of
+                # the E-sized random gather
+                p_bits = jnp.zeros((n, w), dtype=jnp.uint32)
+                for cidx, bits in self._init_pairs:
+                    p_bits = p_bits | jnp.where(
+                        adj_code == cidx, bits, jnp.uint32(0)
+                    )
+                send_ok = p_bits != 0
             else:
+                p_bits = tv_pad[adj]
                 send_ok = (p_bits != 0) & alive[rev]
-            p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
+                p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
             tv_seg = tv[seg_rows]  # per-vertex candidates [n_seg]
             adj_mask_seg = self._or_over_bits(tv_seg)
