@@ -35,6 +35,11 @@ def main(argv=None):
                     help="vertex label file base (default: degree labels)")
     ap.add_argument("-b", "--backup", default=None,
                     help="restore the graph DB from this backup first")
+    ap.add_argument("-e", "--edge-data", default=None,
+                    help="edge metadata file base (accepted for CLI parity; "
+                         "like the reference beta driver, matching does not "
+                         "constrain on edge metadata — beta.cpp:114-115 "
+                         "parses it unused)")
     ap.add_argument("-r", "--ranks", type=int, default=None,
                     help="output ranks (default: graph DB shard count)")
     ap.add_argument("-x", "--batch", type=int, default=1 << 16,

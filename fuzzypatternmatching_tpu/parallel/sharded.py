@@ -96,7 +96,24 @@ class ShardedLccEngine:
         lab_pad = np.zeros(self.vpad, dtype=np.uint32)
         lab_pad[:v] = lab_tv
 
+        # init-superstep label codes (see engine/lcc_bucketed.py): at the
+        # global init tv == label_tv, so the neighbor-bitset gather AND the
+        # tv all_gather are replaced by per-slot label indices replayed as
+        # one select per distinct template label
+        uniq_labels, inv_lab = np.unique(np.asarray(labels), return_inverse=True)
+        code_dtype = np.uint8 if len(uniq_labels) <= 255 else np.uint16
+        code_pad = np.zeros(self.vpad, dtype=code_dtype)
+        code_pad[:v] = (inv_lab + 1).astype(code_dtype)
+        code_s = np.where(evalid_s, code_pad[col_s], code_dtype(0))
+        lab_tv_uniq = pattern.label_match_bitset(uniq_labels)
+        self._init_pairs = [
+            (code_dtype(j + 1), np.uint32(bits))
+            for j, bits in enumerate(lab_tv_uniq)
+            if bits
+        ]
+
         shard2 = NamedSharding(mesh, P("x", None))
+        self.adj_code = jax.device_put(code_s, shard2)
         self.col = jax.device_put(col_s, shard2)
         self.evalid = jax.device_put(evalid_s, shard2)
         self.lrow = jax.device_put(lrow_s, shard2)
@@ -118,7 +135,7 @@ class ShardedLccEngine:
                 jax.shard_map(
                     partial(self._superstep_spmd, init=init),
                     mesh=mesh,
-                    in_specs=(sh,) * 8,
+                    in_specs=(sh,) * 9,
                     out_specs=(sh, sh, sh, (P(), P(), P(), P())),
                 )
             )
@@ -131,20 +148,20 @@ class ShardedLccEngine:
         def make_call(init: bool):
             sh = P("x", None)
 
-            def call(tv, alive, flag, col, lrow, rev, rev_ok, evalid):
+            def call(tv, alive, flag, col, lrow, rev, rev_ok, evalid, code):
                 spmd_init = partial(self._superstep_spmd, init=True)
                 spmd_cont = partial(self._superstep_spmd, init=False)
                 smap = lambda f: jax.shard_map(
                     f,
                     mesh=mesh,
-                    in_specs=(sh,) * 8,
+                    in_specs=(sh,) * 9,
                     out_specs=(sh, sh, sh, (P(), P(), P(), P())),
                 )
                 n_steps = self.p.diameter
                 head = []
                 if init:
                     tv, alive, flag, st = smap(spmd_init)(
-                        tv, alive, flag, col, lrow, rev, rev_ok, evalid
+                        tv, alive, flag, col, lrow, rev, rev_ok, evalid, code
                     )
                     head.append(st)
                     n_steps -= 1
@@ -153,7 +170,7 @@ class ShardedLccEngine:
                 def body(carry, _):
                     tv, alive, flag = carry
                     tv, alive, flag, st = step_fn(
-                        tv, alive, flag, col, lrow, rev, rev_ok, evalid
+                        tv, alive, flag, col, lrow, rev, rev_ok, evalid, code
                     )
                     return (tv, alive, flag), st
 
@@ -191,7 +208,7 @@ class ShardedLccEngine:
 
     def _superstep_spmd(
         self, tv, edge_alive, tp_flag, col, lrow, rev, rev_ok, evalid,
-        init: bool,
+        adj_code, init: bool,
     ):
         # block-local views ([1, B] leading shard dim squeezed)
         tv_loc = tv[0]
@@ -200,17 +217,25 @@ class ShardedLccEngine:
         col, lrow = col[0], lrow[0]
         rev, rev_ok = rev[0], rev_ok[0]
         evalid = evalid[0]
+        adj_code = adj_code[0]
         b = self.block
 
-        # ICI exchange: candidate bitsets of all vertices + packed edge flags
-        tv_full = jax.lax.all_gather(tv_loc, "x", tiled=True)  # [Vpad]
-        p_bits = tv_full[col]
         if init:
-            send_ok = (p_bits != 0) & evalid
+            # tv == label_tv at init: no all_gather, no gather — rebuild the
+            # neighbor bitsets from the precomputed per-slot label codes
+            p_bits = jnp.zeros(col.shape, dtype=jnp.uint32)
+            for cidx, bits in self._init_pairs:
+                p_bits = p_bits | jnp.where(
+                    adj_code == cidx, bits, jnp.uint32(0)
+                )
+            send_ok = p_bits != 0
         else:
+            # ICI exchange: candidate bitsets of all vertices + edge flags
+            tv_full = jax.lax.all_gather(tv_loc, "x", tiled=True)  # [Vpad]
+            p_bits = tv_full[col]
             alive_full = jax.lax.all_gather(alive_loc, "x", tiled=True)
             send_ok = (p_bits != 0) & alive_full[rev] & rev_ok & evalid
-        p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
+            p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
         adj_mask_loc = self._or_over_bits(tv_loc)
         accept = (p_bits & adj_mask_loc[lrow]) != 0
@@ -301,7 +326,7 @@ class ShardedLccEngine:
         call = self._call_init if global_init_step else self._call_cont
         tv, alive, flag, head, st_scan = call(
             tv, alive, flag, self.col, self.lrow, self.rev,
-            self.rev_valid, self.evalid,
+            self.rev_valid, self.evalid, self.adj_code,
         )
         rows = []
         any_died = False
