@@ -23,12 +23,19 @@ from ..graph import storage
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="classic graph algorithms")
-    ap.add_argument("algo", choices=["bfs", "cc", "pagerank", "kcore", "sssp", "triangles"])
+    ap.add_argument("algo", choices=["bfs", "cc", "pagerank", "kcore", "sssp",
+                                     "triangles", "fuzzywalk"])
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("-s", "--source", type=int, default=0)
     ap.add_argument("-k", type=int, default=2)
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--iterations", type=int, default=20)
+    ap.add_argument("--walk-labels", default=None,
+                    help="fuzzywalk: comma-separated label sequence "
+                         "(run_fuzzy_pattern_matching.cpp pattern)")
+    ap.add_argument("--walk-indices", default=None,
+                    help="fuzzywalk: comma-separated history indices "
+                         "(default 0,1,..,len-1 = all-distinct walk)")
     ap.add_argument("-o", "--output", default=None, help="write results here")
     args = ap.parse_args(argv)
 
@@ -36,7 +43,7 @@ def main(argv=None):
 
     enable_persistent_cache()
 
-    g, _, edge_data = storage.load(args.input)
+    g, stored_labels, edge_data = storage.load(args.input)
     print(f"opened graph: V={g.num_vertices} E={g.num_edges}")
     t0 = time.time()
     out = None
@@ -66,6 +73,21 @@ def main(argv=None):
         out = dist
     elif args.algo == "triangles":
         print(f"triangles: {frontier.triangle_count(g)}")
+    elif args.algo == "fuzzywalk":
+        from ..algorithms.fuzzy_walk import fuzzy_walk_ranks
+        from ..graph.csr import degree_labels
+
+        if args.walk_labels is None:
+            ap.error("fuzzywalk requires --walk-labels")
+        wl = np.array([int(x) for x in args.walk_labels.split(",")],
+                      dtype=np.uint64)
+        wi = (np.array([int(x) for x in args.walk_indices.split(",")])
+              if args.walk_indices else np.arange(len(wl)))
+        labels = stored_labels if stored_labels is not None else degree_labels(g)
+        rank = fuzzy_walk_ranks(g, labels, wl, wi)
+        nz = np.nonzero(rank)[0]
+        print(f"fuzzywalk: {len(nz)} ranked vertices, total rank {int(rank.sum())}")
+        out = rank
     print(f"time: {time.time()-t0:.2f}s")
     if args.output is not None and out is not None:
         np.save(args.output, out)
