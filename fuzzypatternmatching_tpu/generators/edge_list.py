@@ -14,13 +14,28 @@ import numpy as np
 
 
 def read_edge_lists(
-    paths: list[str], undirected: bool = False
+    paths: list[str], undirected: bool = False, use_native: bool = True
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Returns (src, dst, edge_data|None) as the concatenated directed
-    stream in file order."""
+    stream in file order. Uses the native streaming parser when available
+    (native/fpm_native.cpp fpm_read_edge_list); loadtxt otherwise."""
+    from .. import native
+
+    native_ok = use_native and native.available()
     srcs, dsts, datas = [], [], []
     has_data = None
     for path in paths:
+        if native_ok:
+            s, d, e = native.read_edge_file_native(path)
+            if s.size == 0:
+                continue
+            if has_data is None:
+                has_data = e is not None
+            srcs.append(s)
+            dsts.append(d)
+            if has_data:
+                datas.append(e)
+            continue
         arr = np.loadtxt(path, dtype=np.int64, ndmin=2)
         if arr.size == 0:
             continue

@@ -50,6 +50,15 @@ def _load():
         u64p, u64p, ctypes.c_uint64, ctypes.c_uint64, i64p, i64p, i64p, i64p,
     ]
     lib.fpm_build_csr.restype = ctypes.c_uint64
+    lib.fpm_count_edges.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fpm_count_edges.restype = ctypes.c_int64
+    lib.fpm_read_edge_list.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+        ctypes.c_void_p,
+    ]
+    lib.fpm_read_edge_list.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -82,6 +91,31 @@ def rmat_all_ranks_native(
         int(scramble), int(undirected), src, dst,
     )
     return src, dst
+
+
+def read_edge_file_native(path: str):
+    """(src, dst, data|None) int64 arrays parsed from one edge-list file.
+    Two streaming passes (count/sniff + parse), ~10x faster than loadtxt."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n_cols = ctypes.c_int64(0)
+    enc = path.encode()
+    n = lib.fpm_count_edges(enc, ctypes.byref(n_cols))
+    if n < 0:
+        raise IOError(f"cannot read {path}")
+    src = np.empty(n, dtype=np.int64)
+    dst = np.empty(n, dtype=np.int64)
+    data = np.empty(n, dtype=np.int64) if n_cols.value >= 3 else None
+    if n == 0:
+        return src, dst, data
+    got = lib.fpm_read_edge_list(
+        enc, n, n_cols.value, src, dst,
+        data.ctypes.data if data is not None else None,
+    )
+    if got != n:
+        raise IOError(f"{path}: parsed {got} rows, expected {n}")
+    return src, dst, data
 
 
 def build_csr_native(src: np.ndarray, dst: np.ndarray, num_vertices: int):

@@ -13,6 +13,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <random>
 #include <thread>
@@ -208,6 +209,92 @@ uint64_t fpm_build_csr(const uint64_t* src, const uint64_t* dst,
     }
   }
   return m;
+}
+
+// Edge-list file ingest (reference: parallel_edge_list_reader.hpp:184-288 —
+// first pass sniffs 2 vs 3 columns and counts rows, second pass parses).
+// Whitespace-separated decimal int64 columns; blank lines skipped.
+// fpm_count_edges returns the row count and writes the column count of the
+// first non-blank row to *n_cols (0 if the file is empty / unreadable -1).
+int64_t fpm_count_edges(const char* path, int64_t* n_cols) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<char> buf(1 << 22);
+  int64_t rows = 0, cols = 0;
+  bool in_tok = false, line_has_tok = false;
+  int64_t first_line_toks = 0;
+  bool counted_first = false;
+  size_t got;
+  while ((got = std::fread(buf.data(), 1, buf.size(), f)) > 0) {
+    for (size_t i = 0; i < got; ++i) {
+      const char c = buf[i];
+      if (c == '\n') {
+        if (line_has_tok) {
+          ++rows;
+          counted_first = true;
+        }
+        in_tok = line_has_tok = false;
+      } else if (c == ' ' || c == '\t' || c == '\r') {
+        in_tok = false;
+      } else {
+        if (!in_tok && !counted_first) ++first_line_toks;
+        in_tok = line_has_tok = true;
+      }
+    }
+  }
+  if (line_has_tok) ++rows;  // no trailing newline
+  cols = first_line_toks;
+  std::fclose(f);
+  *n_cols = cols;
+  return rows;
+}
+
+// Parse the file into preallocated arrays (src/dst sized n_rows; data may
+// be null when n_cols < 3). Returns rows parsed (== n_rows on success).
+int64_t fpm_read_edge_list(const char* path, int64_t n_rows, int64_t n_cols,
+                           int64_t* src, int64_t* dst, int64_t* data) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<char> buf(1 << 22);
+  int64_t row = 0, col = 0;
+  int64_t val = 0;
+  bool in_num = false, neg = false;
+  size_t got;
+  auto flush_tok = [&]() {
+    if (!in_num) return;
+    const int64_t x = neg ? -val : val;
+    if (row < n_rows) {
+      if (col == 0) src[row] = x;
+      else if (col == 1) dst[row] = x;
+      else if (col == 2 && data) data[row] = x;
+    }
+    ++col;
+    in_num = false;
+    neg = false;
+    val = 0;
+  };
+  while ((got = std::fread(buf.data(), 1, buf.size(), f)) > 0) {
+    for (size_t i = 0; i < got; ++i) {
+      const char c = buf[i];
+      if (c >= '0' && c <= '9') {
+        val = val * 10 + (c - '0');
+        in_num = true;
+      } else if (c == '-') {
+        neg = true;
+        in_num = true;
+      } else if (c == '\n') {
+        flush_tok();
+        if (col > 0) ++row;
+        col = 0;
+      } else {
+        flush_tok();
+      }
+    }
+  }
+  flush_tok();
+  if (col > 0) ++row;
+  std::fclose(f);
+  return row;
 }
 
 }  // extern "C"
