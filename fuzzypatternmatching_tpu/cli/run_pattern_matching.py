@@ -52,11 +52,16 @@ def main(argv=None):
                     default="bucketed")
     ap.add_argument("--output-vertex-data", action="store_true",
                     help="dump all_ranks_vertex_data files (beta.cpp:379)")
+    from ..utils.dist import add_distributed_args, build_mesh, init_distributed
+
+    add_distributed_args(ap)
     args = ap.parse_args(argv)
 
     from ..utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    init_distributed(args)
+    mesh = build_mesh() if args.lcc_engine == "sharded" else None
 
     if args.backup:
         storage.transfer(args.backup, args.input)
@@ -110,7 +115,7 @@ def main(argv=None):
         t0 = time.time()
         engine = MatchEngine(
             graph, labels, pattern, constraints, num_ranks=num_ranks,
-            source_batch=args.batch, lcc_engine=args.lcc_engine,
+            source_batch=args.batch, lcc_engine=args.lcc_engine, mesh=mesh,
         )
         result = engine.run(max_iterations=args.max_iterations)
         print(

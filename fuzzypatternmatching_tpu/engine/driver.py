@@ -59,11 +59,6 @@ class MatchEngine:
         # more than a sub-ms numpy pass) and moves big ones on-device
         self.nlcc_mode = nlcc_mode
         self.nlcc_device_min = nlcc_device_min
-        self._dev_nlcc = (
-            DeviceNlcc(graph.num_vertices, num_ranks=num_ranks)
-            if nlcc_mode in ("auto", "device") and graph.num_vertices < (1 << 31)
-            else None
-        )
         if lcc_engine == "sharded" or mesh is not None:
             from ..parallel.sharded import ShardedLccEngine
 
@@ -71,6 +66,23 @@ class MatchEngine:
         else:
             cls = BucketedLccEngine if lcc_engine == "bucketed" else LccEngine
             self.lcc = cls(graph, self.labels, pattern, num_ranks=num_ranks)
+        # NLCC accelerator engine: on a mesh the token walks run distributed
+        # (parallel/nlcc_sharded.py: all_to_all routing + shard-local dedup);
+        # single-device runs use the one-chip frontier programs
+        if nlcc_mode in ("auto", "device") and graph.num_vertices < (1 << 31):
+            if hasattr(self.lcc, "mesh"):
+                from ..parallel.nlcc_sharded import ShardedNlcc
+
+                self._dev_nlcc = ShardedNlcc(
+                    graph.num_vertices, mesh=self.lcc.mesh,
+                    num_ranks=num_ranks,
+                )
+            else:
+                self._dev_nlcc = DeviceNlcc(
+                    graph.num_vertices, num_ranks=num_ranks
+                )
+        else:
+            self._dev_nlcc = None
         # sorted (row*V + col) keys for O(log E) edge-slot lookup
         self._edge_keys = graph.edge_row.astype(np.uint64) * np.uint64(
             graph.num_vertices

@@ -1,20 +1,31 @@
 """Multi-device LCC — the superstep kernel sharded over a 1-D device mesh.
 
-The reference distributes the graph over MPI ranks and exchanges visitor
-messages through a two-level mailbox (new_mailbox.hpp). Here:
+The reference distributes the graph over MPI ranks (1-D cyclic vertex
+partition + delegate replication for hubs, delegate_partitioned_graph.ipp:
+274-379) and exchanges visitor messages through a two-level mailbox
+(new_mailbox.hpp). Here the layout is TPU-first:
 
-* vertices are block-partitioned over the mesh axis (pad V to n*B); each
-  device owns its block's rows of the receiver-centric CSR (edges grouped by
-  row owner, padded to a common per-shard count),
-* one superstep = ``all_gather`` of the per-vertex candidate bitsets and the
-  (bit-packed) edge-active flags over ICI — replacing all point-to-point
-  mailbox traffic — followed by purely local gather/segment-sum compute,
+* **Balanced edge partition with hub splitting.** Edges are partitioned
+  into n contiguous CSR chunks of ~E/n; a hub row whose adjacency spans
+  chunk boundaries is thereby SPLIT across devices (the delegate-
+  replication analog): each device computes a partial neighbor-bitset OR
+  for its slice and the partials are combined at the vertex owner.
+* **Vertex-block ownership.** tv (candidate bitsets) is block-partitioned
+  (owner = v // block) — the same owner function the distributed NLCC
+  router uses.
+* **Boundary (halo) exchange, not replication.** Each superstep moves only
+  (i) the tv of vertices appearing in this device's column/row lists,
+  (ii) the alive flags of this device's cut reverse-edges, (iii) the
+  per-row partial ORs to/from vertex owners — all via ``all_to_all`` with
+  send/recv index lists precomputed at construction (static shapes, pure
+  gathers/scatters around each exchange). Per-device memory and ICI
+  traffic are O((V+E)/n + cut), not O(V+E) as a full ``all_gather`` of tv
+  and edge flags would be.
 * convergence counters are ``psum``s (replacing the MPI tree termination
   detection, termination_detection.hpp:96-233).
 
-Padded slots are inert by construction: padded vertices have label-candidate
-bitset 0 so they never send, accept, or count; padded edge slots point at
-padded vertices.
+Padded slots are inert by construction: pad gather lanes read sentinel
+zeros, pad scatter lanes drop out of bounds.
 """
 
 from __future__ import annotations
@@ -31,11 +42,17 @@ from ..graph.csr import Graph
 from ..pattern.pattern_graph import PatternGraph
 
 
+def _pow2(n: int, lo: int = 8) -> int:
+    return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
 @dataclass
 class ShardedState:
-    tv: jax.Array  # uint32 [n, B]
-    edge_alive: jax.Array  # bool [n, Emax]
-    tp_flag: jax.Array  # bool [n, Emax]
+    tv: jax.Array  # uint32 [n, B] block-partitioned candidates
+    edge_alive: jax.Array  # bool [n, EC] edge-chunk partitioned flags
+    tp_flag: jax.Array  # bool [n, EC]
+    # memo for alive_pairs (the driver asks several times per phase)
+    pairs_cache: tuple | None = None
 
 
 class ShardedLccEngine:
@@ -58,68 +75,179 @@ class ShardedLccEngine:
         self.graph = graph
         self.p = pattern
         v = graph.num_vertices
+        e = graph.num_edges
         self.block = b = -(-v // n)
         self.vpad = n * b
+        self.ec = ec = max(-(-e // n), 1)
 
-        # --- partition edges by row-owner block (rows are sorted, so the
-        # partition is a contiguous split) ---------------------------------
-        row_ptr = graph.row_ptr
-        bounds = [int(row_ptr[min(r * b, v)]) for r in range(n + 1)]
-        e_counts = [bounds[r + 1] - bounds[r] for r in range(n)]
-        emax = max(max(e_counts), 1)
-        self.emax = emax
-
-        # new edge numbering: shard r's slice lands at [r*emax, r*emax+cnt)
-        old_to_new = np.full(graph.num_edges, -1, dtype=np.int64)
+        # --- balanced contiguous edge chunks (rows may split: hub rows
+        # spanning a boundary are the delegate-splitting analog) ----------
+        erow = graph.edge_row
+        rowstart = np.zeros(n, dtype=np.int64)
+        rowend = np.zeros(n, dtype=np.int64)
         for r in range(n):
-            lo, hi = bounds[r], bounds[r + 1]
-            old_to_new[lo:hi] = r * emax + np.arange(hi - lo)
+            lo, hi = r * ec, min((r + 1) * ec, e)
+            if lo < hi:
+                rowstart[r] = erow[lo]
+                rowend[r] = erow[hi - 1]
+            else:  # empty chunk: degenerate single-row range
+                rowstart[r] = rowend[r] = max(v - 1, 0)
+        self.rmax = rmax = int(max(rowend - rowstart + 1))
+        self._rowstart = rowstart
 
-        col_s = np.zeros((n, emax), dtype=np.int32)
-        lrow_s = np.zeros((n, emax), dtype=np.int32)  # row index local to block
-        rev_s = np.zeros((n, emax), dtype=np.int32)  # padded-global edge index
-        revok_s = np.zeros((n, emax), dtype=bool)
-        evalid_s = np.zeros((n, emax), dtype=bool)  # real (non-padding) slots
+        lrow_s = np.zeros((n, ec), dtype=np.int32)
+        evalid_s = np.zeros((n, ec), dtype=bool)
+        col_chunks = []
         for r in range(n):
-            lo, hi = bounds[r], bounds[r + 1]
+            lo, hi = r * ec, min((r + 1) * ec, e)
             cnt = hi - lo
-            col_s[r, :cnt] = graph.cols[lo:hi]
-            lrow_s[r, :cnt] = graph.edge_row[lo:hi] - r * b
-            rv = graph.rev_edge[lo:hi]
-            ok = rv >= 0
-            rev_s[r, :cnt] = np.where(ok, old_to_new[np.maximum(rv, 0)], 0)
-            revok_s[r, :cnt] = ok
+            lrow_s[r, :cnt] = erow[lo:hi] - rowstart[r]
             evalid_s[r, :cnt] = True
-            lrow_s[r, cnt:] = max(b - 1, 0)
+            col_chunks.append(graph.cols[lo:hi])
 
-        lab_tv = pattern.label_match_bitset(np.asarray(labels)).astype(np.uint32)
-        lab_pad = np.zeros(self.vpad, dtype=np.uint32)
-        lab_pad[:v] = lab_tv
+        # --- tv halo: per chunk, the unique vertices whose tv it reads
+        # (columns + own row range); request lists per owner ---------------
+        H = 1
+        req_tv = []  # per (dest r): per owner o, np.ndarray of vertex ids
+        u_meta = []  # per r: (U, seg_start) for colmap/rowmap construction
+        for r in range(n):
+            rows_range = np.arange(rowstart[r], rowend[r] + 1, dtype=np.int64)
+            U = np.unique(np.concatenate([col_chunks[r], rows_range]))
+            owners = U // b
+            seg_start = np.searchsorted(owners, np.arange(n + 1))
+            req = [U[seg_start[o] : seg_start[o + 1]] for o in range(n)]
+            H = max(H, max((len(x) for x in req), default=1))
+            req_tv.append(req)
+            u_meta.append((U, seg_start))
+        self.halo_h = H = _pow2(H)
+        sendidx_tv = np.full((n, n, H), b, dtype=np.int32)  # [owner, dest, H]
+        for r in range(n):
+            for o in range(n):
+                q = req_tv[r][o]
+                sendidx_tv[o, r, : len(q)] = q - o * b
+        colmap = np.full((n, ec), n * H, dtype=np.int32)
+        rowmap = np.full((n, rmax), n * H, dtype=np.int32)
+        for r in range(n):
+            U, seg_start = u_meta[r]
+            owners_of = lambda x: x // b
+            # position of vertex x in the flattened recv layout
+            def recv_pos(x):
+                o = owners_of(x)
+                ui = np.searchsorted(U, x)
+                return o * H + (ui - seg_start[o])
+            cc = col_chunks[r]
+            colmap[r, : len(cc)] = recv_pos(cc)
+            rows_range = np.arange(rowstart[r], rowend[r] + 1, dtype=np.int64)
+            rowmap[r, : len(rows_range)] = recv_pos(rows_range)
 
-        # init-superstep label codes (see engine/lcc_bucketed.py): at the
-        # global init tv == label_tv, so the neighbor-bitset gather AND the
-        # tv all_gather are replaced by per-slot label indices replayed as
-        # one select per distinct template label
-        uniq_labels, inv_lab = np.unique(np.asarray(labels), return_inverse=True)
+        # --- rev-edge alive halo: per chunk, the alive flags of the
+        # reverse edges of its slots (the cut edges) ------------------------
+        Hrev = 1
+        req_al = []
+        rv_meta = []
+        for r in range(n):
+            lo, hi = r * ec, min((r + 1) * ec, e)
+            rv = graph.rev_edge[lo:hi]
+            rv_ok = rv >= 0
+            RU = np.unique(rv[rv_ok])
+            owners = RU // ec
+            seg_start = np.searchsorted(owners, np.arange(n + 1))
+            req = [RU[seg_start[o] : seg_start[o + 1]] for o in range(n)]
+            Hrev = max(Hrev, max((len(x) for x in req), default=1))
+            req_al.append(req)
+            rv_meta.append((RU, seg_start, rv, rv_ok))
+        self.halo_hrev = Hrev = _pow2(Hrev)
+        sendidx_al = np.full((n, n, Hrev), ec, dtype=np.int32)
+        for r in range(n):
+            for o in range(n):
+                q = req_al[r][o]
+                sendidx_al[o, r, : len(q)] = q - o * ec
+        revmap = np.full((n, ec), n * Hrev, dtype=np.int32)
+        for r in range(n):
+            RU, seg_start, rv, rv_ok = rv_meta[r]
+            if len(RU):
+                o = rv[rv_ok] // ec
+                ui = np.searchsorted(RU, rv[rv_ok])
+                revmap[r, : len(rv)][rv_ok] = o * Hrev + (ui - seg_start[o])
+
+        # --- partial-OR exchange: chunk r's rows grouped by tv owner
+        # (contiguous ranges; sendrows gathers partials, ridx places them
+        # at the owner; the same tables reversed broadcast new_tv back) ---
+        K = 1
+        spans = []  # per r: per o, (local_row_lo, count)
+        for r in range(n):
+            row_spans = []
+            for o in range(n):
+                lo_v = max(rowstart[r], o * b)
+                hi_v = min(rowend[r] + 1, (o + 1) * b)
+                cnt = max(0, hi_v - lo_v)
+                row_spans.append((lo_v, cnt))
+                K = max(K, cnt)
+            spans.append(row_spans)
+        self.halo_k = K = _pow2(K)
+        sendrows = np.full((n, n, K), rmax, dtype=np.int32)  # [chunk, owner, K]
+        ridx = np.full((n, n, K), b, dtype=np.int32)  # [owner, chunk, K]
+        for r in range(n):
+            for o in range(n):
+                lo_v, cnt = spans[r][o]
+                if cnt:
+                    sendrows[r, o, :cnt] = (
+                        np.arange(lo_v, lo_v + cnt) - rowstart[r]
+                    )
+                    ridx[o, r, :cnt] = np.arange(lo_v, lo_v + cnt) - o * b
+
+        # --- init-superstep label codes (see engine/lcc_bucketed.py): at
+        # the global init tv == label_tv, so neighbor bitsets are replayed
+        # from per-slot label indices — no halo at all at init --------------
+        labels = np.asarray(labels)
+        uniq_labels, inv_lab = np.unique(labels, return_inverse=True)
         code_dtype = np.uint8 if len(uniq_labels) <= 255 else np.uint16
-        code_pad = np.zeros(self.vpad, dtype=code_dtype)
-        code_pad[:v] = (inv_lab + 1).astype(code_dtype)
-        code_s = np.where(evalid_s, code_pad[col_s], code_dtype(0))
+        code_vert = np.zeros(v + 1, dtype=code_dtype)
+        code_vert[:v] = (inv_lab + 1).astype(code_dtype)
+        code_s = np.zeros((n, ec), dtype=code_dtype)
+        for r in range(n):
+            cc = col_chunks[r]
+            code_s[r, : len(cc)] = code_vert[cc]
         lab_tv_uniq = pattern.label_match_bitset(uniq_labels)
         self._init_pairs = [
             (code_dtype(j + 1), np.uint32(bits))
             for j, bits in enumerate(lab_tv_uniq)
             if bits
         ]
+        lab_tv = pattern.label_match_bitset(labels).astype(np.uint32)
+        lab_pad = np.zeros(self.vpad, dtype=np.uint32)
+        lab_pad[:v] = lab_tv
+        # static per-row accept masks for the init superstep
+        init_adjmask = np.zeros((n, rmax), dtype=np.uint32)
+        adj_all_np = np.asarray(pattern.edges_bitset_all, dtype=np.uint32)
+        for r in range(n):
+            rr = np.arange(rowstart[r], rowend[r] + 1)
+            m = np.zeros(len(rr), dtype=np.uint32)
+            tvr = lab_tv[np.minimum(rr, v - 1)] * (rr < v)
+            for i in range(pattern.vertex_count):
+                m |= np.where((tvr >> i) & 1 != 0, adj_all_np[i], np.uint32(0))
+            init_adjmask[r, : len(rr)] = m
+
+        # host copies for the slot-space fast path (alive_pairs et al.)
+        self._np_evalid = evalid_s
 
         shard2 = NamedSharding(mesh, P("x", None))
-        self.adj_code = jax.device_put(code_s, shard2)
-        self.col = jax.device_put(col_s, shard2)
-        self.evalid = jax.device_put(evalid_s, shard2)
-        self.lrow = jax.device_put(lrow_s, shard2)
-        self.rev = jax.device_put(rev_s, shard2)
-        self.rev_valid = jax.device_put(revok_s, shard2)
-        self.label_tv = jax.device_put(lab_pad.reshape(n, b), shard2)
+        shard3 = NamedSharding(mesh, P("x", None, None))
+        self._ops = (
+            jax.device_put(lrow_s, shard2),
+            jax.device_put(evalid_s, shard2),
+            jax.device_put(colmap, shard2),
+            jax.device_put(rowmap, shard2),
+            jax.device_put(revmap, shard2),
+            jax.device_put(sendidx_tv, shard3),
+            jax.device_put(sendidx_al, shard3),
+            jax.device_put(sendrows, shard3),
+            jax.device_put(ridx, shard3),
+            jax.device_put(code_s, shard2),
+            jax.device_put(init_adjmask, shard2),
+            jax.device_put(lab_pad.reshape(n, b), shard2),
+        )
+        self.label_tv = self._ops[-1]
 
         self.k = pattern.vertex_count
         self.adj_all = jnp.asarray(pattern.edges_bitset_all, dtype=jnp.uint32)
@@ -127,51 +255,34 @@ class ShardedLccEngine:
         self.opt = jnp.asarray(pattern.edges_bitset_optional, dtype=jnp.uint32)
         self.opt_min = np.asarray(pattern.min_optional_edge_count)
 
-        # graph arrays must be explicit shard_map operands (closure capture
-        # would broadcast the full array to every device)
-        def make_step(init: bool):
-            sh = P("x", None)
-            return jax.jit(
-                jax.shard_map(
-                    partial(self._superstep_spmd, init=init),
-                    mesh=mesh,
-                    in_specs=(sh,) * 9,
-                    out_specs=(sh, sh, sh, (P(), P(), P(), P())),
-                )
-            )
-
-        self._step_init = make_step(True)
-        self._step_cont = make_step(False)
-
         # whole-call programs: init superstep + scan of continuations in one
-        # trace (single host round trip per LCC call)
-        def make_call(init: bool):
-            sh = P("x", None)
+        # trace (single host round trip per LCC call); graph tables are
+        # explicit shard_map operands (closure capture would broadcast)
+        sh = P("x", None)
+        sh3 = P("x", None, None)
+        op_specs = (sh, sh, sh, sh, sh, sh3, sh3, sh3, sh3, sh, sh, sh)
 
-            def call(tv, alive, flag, col, lrow, rev, rev_ok, evalid, code):
-                spmd_init = partial(self._superstep_spmd, init=True)
-                spmd_cont = partial(self._superstep_spmd, init=False)
+        def make_call(init: bool):
+            def call(tv, alive, flag, ops):
                 smap = lambda f: jax.shard_map(
                     f,
                     mesh=mesh,
-                    in_specs=(sh,) * 9,
+                    in_specs=(sh, sh, sh, op_specs),
                     out_specs=(sh, sh, sh, (P(), P(), P(), P())),
                 )
                 n_steps = self.p.diameter
                 head = []
                 if init:
-                    tv, alive, flag, st = smap(spmd_init)(
-                        tv, alive, flag, col, lrow, rev, rev_ok, evalid, code
-                    )
+                    tv, alive, flag, st = smap(
+                        partial(self._superstep_spmd, init=True)
+                    )(tv, alive, flag, ops)
                     head.append(st)
                     n_steps -= 1
-                step_fn = smap(spmd_cont)
+                step_fn = smap(partial(self._superstep_spmd, init=False))
 
                 def body(carry, _):
                     tv, alive, flag = carry
-                    tv, alive, flag, st = step_fn(
-                        tv, alive, flag, col, lrow, rev, rev_ok, evalid, code
-                    )
+                    tv, alive, flag, st = step_fn(tv, alive, flag, ops)
                     return (tv, alive, flag), st
 
                 st_scan = None
@@ -206,57 +317,90 @@ class ShardedLccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
-    def _superstep_spmd(
-        self, tv, edge_alive, tp_flag, col, lrow, rev, rev_ok, evalid,
-        adj_code, init: bool,
-    ):
-        # block-local views ([1, B] leading shard dim squeezed)
+    def _superstep_spmd(self, tv, edge_alive, tp_flag, ops, init: bool):
+        n, b, ec, rmax = self.n, self.block, self.ec, self.rmax
         tv_loc = tv[0]
         alive_loc = edge_alive[0]
         flag_loc = tp_flag[0]
-        col, lrow = col[0], lrow[0]
-        rev, rev_ok = rev[0], rev_ok[0]
-        evalid = evalid[0]
-        adj_code = adj_code[0]
-        b = self.block
+        (
+            lrow, evalid, colmap, rowmap, revmap, sendidx_tv, sendidx_al,
+            sendrows, ridx, adj_code, init_adjmask, label_tv_own,
+        ) = (o[0] for o in ops)
 
         if init:
-            # tv == label_tv at init: no all_gather, no gather — rebuild the
-            # neighbor bitsets from the precomputed per-slot label codes
-            p_bits = jnp.zeros(col.shape, dtype=jnp.uint32)
+            tv_loc = label_tv_own
+            # tv == label_tv at init: rebuild neighbor bitsets from the
+            # precomputed per-slot label codes — no exchange needed
+            p_bits = jnp.zeros((ec,), dtype=jnp.uint32)
             for cidx, bits in self._init_pairs:
                 p_bits = p_bits | jnp.where(
                     adj_code == cidx, bits, jnp.uint32(0)
                 )
             send_ok = p_bits != 0
+            adj_mask = init_adjmask
         else:
-            # ICI exchange: candidate bitsets of all vertices + edge flags
-            tv_full = jax.lax.all_gather(tv_loc, "x", tiled=True)  # [Vpad]
-            p_bits = tv_full[col]
-            alive_full = jax.lax.all_gather(alive_loc, "x", tiled=True)
-            send_ok = (p_bits != 0) & alive_full[rev] & rev_ok & evalid
+            # --- tv halo: only the boundary values this chunk reads move
+            tv_pad = jnp.concatenate([tv_loc, jnp.zeros(1, jnp.uint32)])
+            recv = jax.lax.all_to_all(
+                tv_pad[sendidx_tv], "x", split_axis=0, concat_axis=0
+            )
+            tvH = jnp.concatenate(
+                [recv.reshape(-1), jnp.zeros(1, jnp.uint32)]
+            )
+            p_bits = tvH[colmap]
+            # --- cut-edge alive halo: rev flags of this chunk's edges
+            al_pad = jnp.concatenate([alive_loc, jnp.zeros(1, bool)])
+            recva = jax.lax.all_to_all(
+                al_pad[sendidx_al], "x", split_axis=0, concat_axis=0
+            )
+            alH = jnp.concatenate([recva.reshape(-1), jnp.zeros(1, bool)])
+            send_ok = (p_bits != 0) & alH[revmap] & evalid
             p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
+            adj_mask = self._or_over_bits(tvH[rowmap])
 
-        adj_mask_loc = self._or_over_bits(tv_loc)
-        accept = (p_bits & adj_mask_loc[lrow]) != 0
+        accept = (p_bits & adj_mask[lrow]) != 0
         pa = jnp.where(accept, p_bits, jnp.uint32(0))
 
+        # partial neighbor-bitset OR per local row (hub rows spanning
+        # chunks produce partials on several devices)
         planes = (
             (pa[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :]) & 1
         ).astype(jnp.uint8)
-        tn_planes = jax.ops.segment_max(planes, lrow, num_segments=b) > 0
+        tn_planes = jax.ops.segment_max(planes, lrow, num_segments=rmax) > 0
         weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
-        tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32)
+        tn_partial = jnp.sum(
+            tn_planes.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32
+        )
 
-        in_map = tn != 0
-        new_tv = tv_loc & self._keep_mask(tn)
+        # --- deliver partials to tv owners and OR-combine -----------------
+        tn_pad = jnp.concatenate([tn_partial, jnp.zeros(1, jnp.uint32)])
+        recvt = jax.lax.all_to_all(
+            tn_pad[sendrows], "x", split_axis=0, concat_axis=0
+        )  # [n, K] partials from each chunk
+        tn_own = jnp.zeros(b, dtype=jnp.uint32)
+        for s in range(n):
+            tn_own = tn_own | jnp.zeros(b, dtype=jnp.uint32).at[
+                ridx[s]
+            ].set(recvt[s], mode="drop")
+
+        in_map = tn_own != 0
+        new_tv = tv_loc & self._keep_mask(tn_own)
         if init:
             new_tv = jnp.where(in_map, new_tv, jnp.uint32(0))
             died = in_map & (new_tv == 0)
         else:
             died = (tv_loc != 0) & (new_tv == 0)
 
-        row_live = new_tv[lrow] != 0
+        # --- broadcast new_tv back to the chunks holding each row ---------
+        ntv_pad = jnp.concatenate([new_tv, jnp.zeros(1, jnp.uint32)])
+        recvr = jax.lax.all_to_all(
+            ntv_pad[ridx], "x", split_axis=0, concat_axis=0
+        )  # [n, K] row tv from each owner
+        row_tv = jnp.zeros(rmax, dtype=jnp.uint32)
+        for o in range(n):
+            row_tv = row_tv.at[sendrows[o]].set(recvr[o], mode="drop")
+
+        row_live = row_tv[lrow] != 0
         if init:
             new_alive = accept & row_live
         else:
@@ -275,59 +419,118 @@ class ShardedLccEngine:
 
     # -------------------------------------------------------------- public
 
+    def per_device_elems(self) -> int:
+        """Static per-device working-set size in array elements — the
+        O((V+E)/n + cut) bound the halo layout guarantees (vs O(V+E) for a
+        full-all_gather data plane)."""
+        n, b, ec, rmax = self.n, self.block, self.ec, self.rmax
+        return (
+            b  # tv block
+            + 4 * ec  # alive/flag/colmap/revmap (+lrow, evalid counted next)
+            + 2 * ec
+            + 2 * rmax  # rowmap + init_adjmask
+            + n * (self.halo_h + self.halo_hrev + 2 * self.halo_k)
+        )
+
     def init_state(self) -> ShardedState:
         shard2 = NamedSharding(self.mesh, P("x", None))
         z_v = jax.device_put(
             np.zeros((self.n, self.block), dtype=np.uint32), shard2
         )
-        z_e = jax.device_put(np.zeros((self.n, self.emax), dtype=bool), shard2)
+        z_e = jax.device_put(np.zeros((self.n, self.ec), dtype=bool), shard2)
         return ShardedState(tv=z_v, edge_alive=z_e, tp_flag=z_e)
+
+    def _edge_flags_to_chunks(self, flags: np.ndarray) -> np.ndarray:
+        out = np.zeros((self.n, self.ec), dtype=bool)
+        e = self.graph.num_edges
+        for r in range(self.n):
+            lo, hi = r * self.ec, min((r + 1) * self.ec, e)
+            out[r, : hi - lo] = flags[lo:hi]
+        return out
 
     def state_from_global(
         self, tv: np.ndarray, edge_alive: np.ndarray, tp_flag: np.ndarray
     ) -> ShardedState:
         """Repack flat (V, E)-indexed host state into sharded layout."""
-        n, b, emax = self.n, self.block, self.emax
-        tv_p = np.zeros(n * b, dtype=np.uint32)
+        tv_p = np.zeros(self.vpad, dtype=np.uint32)
         tv_p[: self.graph.num_vertices] = tv
-        al = np.zeros((n, emax), dtype=bool)
-        fl = np.zeros((n, emax), dtype=bool)
-        row_ptr = self.graph.row_ptr
-        v = self.graph.num_vertices
-        for r in range(n):
-            lo = int(row_ptr[min(r * b, v)])
-            hi = int(row_ptr[min((r + 1) * b, v)])
-            al[r, : hi - lo] = edge_alive[lo:hi]
-            fl[r, : hi - lo] = tp_flag[lo:hi]
         shard2 = NamedSharding(self.mesh, P("x", None))
         return ShardedState(
-            tv=jax.device_put(tv_p.reshape(n, b), shard2),
-            edge_alive=jax.device_put(al, shard2),
-            tp_flag=jax.device_put(fl, shard2),
+            tv=jax.device_put(tv_p.reshape(self.n, self.block), shard2),
+            edge_alive=jax.device_put(
+                self._edge_flags_to_chunks(edge_alive), shard2
+            ),
+            tp_flag=jax.device_put(
+                self._edge_flags_to_chunks(tp_flag), shard2
+            ),
         )
 
     def state_to_global(self, state: ShardedState):
-        n, b = self.n, self.block
-        v = self.graph.num_vertices
-        tv = np.asarray(state.tv).reshape(-1)[:v]
-        al_s = np.asarray(state.edge_alive)
-        alive = np.zeros(self.graph.num_edges, dtype=bool)
-        row_ptr = self.graph.row_ptr
-        for r in range(n):
-            lo = int(row_ptr[min(r * b, v)])
-            hi = int(row_ptr[min((r + 1) * b, v)])
-            alive[lo:hi] = al_s[r, : hi - lo]
+        tv = np.asarray(state.tv).reshape(-1)[: self.graph.num_vertices]
+        alive = np.asarray(state.edge_alive).reshape(-1)[
+            : self.graph.num_edges
+        ]
         return tv, alive
+
+    # -- slot-space fast path (avoids all E-sized host remaps) -------------
+    # Same protocol as BucketedLccEngine: the driver moves only tv (V-sized)
+    # and the pruned alive set across the host boundary.
+
+    def tv_host(self, state: ShardedState) -> np.ndarray:
+        return np.asarray(state.tv).reshape(-1)[: self.graph.num_vertices]
+
+    def alive_pairs(self, state: ShardedState):
+        """(row, col) arrays of currently-alive edges, row-sorted (chunks
+        are contiguous CSR slices, so flat order IS row order)."""
+        if state.pairs_cache is not None:
+            return state.pairs_cache
+        al = np.asarray(state.edge_alive).reshape(-1)[: self.graph.num_edges]
+        ids = np.nonzero(al)[0]
+        state.pairs_cache = (
+            self.graph.edge_row[ids].astype(np.int64),
+            self.graph.cols[ids].astype(np.int64),
+        )
+        return state.pairs_cache
+
+    def state_from_edge_ids(
+        self, tv: np.ndarray, edge_ids: np.ndarray
+    ) -> ShardedState:
+        al = np.zeros(self.n * self.ec, dtype=bool)
+        al[edge_ids] = True  # chunk layout == flat CSR order
+        shard2 = NamedSharding(self.mesh, P("x", None))
+        tv_p = np.zeros(self.vpad, dtype=np.uint32)
+        tv_p[: self.graph.num_vertices] = tv
+        return ShardedState(
+            tv=jax.device_put(tv_p.reshape(self.n, self.block), shard2),
+            edge_alive=jax.device_put(al.reshape(self.n, self.ec), shard2),
+            tp_flag=jax.device_put(
+                np.zeros((self.n, self.ec), dtype=bool), shard2
+            ),
+        )
+
+    def with_updates(self, state: ShardedState, tv: np.ndarray, tp_marks):
+        """Replace tv and set token-passing success marks (slot flags)."""
+        shard2 = NamedSharding(self.mesh, P("x", None))
+        flag = state.tp_flag
+        if tp_marks:
+            fl = np.asarray(flag).reshape(-1)
+            fl = fl.copy()
+            fl[np.asarray(tp_marks, dtype=np.int64)] = True
+            flag = jax.device_put(fl.reshape(self.n, self.ec), shard2)
+        tv_p = np.zeros(self.vpad, dtype=np.uint32)
+        tv_p[: self.graph.num_vertices] = tv
+        return ShardedState(
+            tv=jax.device_put(tv_p.reshape(self.n, self.block), shard2),
+            edge_alive=state.edge_alive,
+            tp_flag=flag,
+        )
 
     def lcc_call(self, state: ShardedState, global_init_step: bool):
         tv, alive, flag = state.tv, state.edge_alive, state.tp_flag
         if global_init_step:
             tv = self.label_tv
         call = self._call_init if global_init_step else self._call_cont
-        tv, alive, flag, head, st_scan = call(
-            tv, alive, flag, self.col, self.lrow, self.rev,
-            self.rev_valid, self.evalid, self.adj_code,
-        )
+        tv, alive, flag, head, st_scan = call(tv, alive, flag, self._ops)
         rows = []
         any_died = False
 
@@ -343,4 +546,3 @@ class ShardedLccEngine:
             for i in range(av_s.shape[0]):
                 emit(av_s[i], ae_s[i], msg_s[i], died_s[i])
         return ShardedState(tv, alive, flag), rows, any_died
-

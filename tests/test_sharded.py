@@ -73,6 +73,41 @@ def test_sharded_grid(tree_pattern):
     assert [r[:3] for r in rows1] == [r[:3] for r in rows2]
 
 
+def test_per_device_memory_scales(tree_pattern):
+    """The halo data plane must hold O((V+E)/n + cut) elements per device,
+    not O(V+E): distributing the graph, not replicating it (VERDICT item 2;
+    reference delegate partitioning, delegate_partitioned_graph.ipp:316-379)."""
+    g = _rmat_graph(11)
+    labels = degree_labels(g)
+    e1 = ShardedLccEngine(g, labels, tree_pattern, num_devices=1)
+    e8 = ShardedLccEngine(g, labels, tree_pattern, num_devices=8)
+    # a replicated plane keeps the same footprint at any mesh size; the
+    # halo plane must shrink with n (s11 R-MAT is near-worst-case: random
+    # columns make the halo ~V and nearly every edge a cut edge)
+    assert e8.per_device_elems() < 0.3 * e1.per_device_elems()
+    # the chunk-local arrays (the E-proportional part) shrink exactly n-fold
+    assert e8.ec <= -(-e1.ec // 8) + 1
+
+
+def test_hub_rows_split_across_chunks(tree_pattern):
+    """A hub vertex with more edges than E/n must have its row span several
+    devices (the delegate-splitting analog) and still produce exact counts."""
+    # star graph: vertex 0 joined to all others (both directions)
+    v = 64
+    hub_deg = v - 1
+    src = np.concatenate([np.zeros(hub_deg), np.arange(1, v)]).astype(np.int64)
+    dst = np.concatenate([np.arange(1, v), np.zeros(hub_deg)]).astype(np.int64)
+    g = from_edges(src, dst, num_vertices=v)
+    labels = degree_labels(g)
+    single = LccEngine(g, labels, tree_pattern)
+    sharded = ShardedLccEngine(g, labels, tree_pattern, num_devices=8)
+    # hub row 0 has 63 of 126 edges: it must span multiple 16-edge chunks
+    assert g.row_ptr[1] > sharded.ec
+    _, rows1, _ = single.lcc_call(single.init_state(), True)
+    _, rows2, _ = sharded.lcc_call(sharded.init_state(), True)
+    assert [r[:3] for r in rows1] == [r[:3] for r in rows2]
+
+
 def test_full_search_on_mesh(tree_pattern, tmp_path):
     """The complete LCC+NLCC search driven with the sharded engine on an
     8-device mesh must match the oracle."""
