@@ -52,6 +52,11 @@ def main(argv=None):
                     default="bucketed")
     ap.add_argument("--output-vertex-data", action="store_true",
                     help="dump all_ranks_vertex_data files (beta.cpp:379)")
+    ap.add_argument("--superstep-timing", action="store_true",
+                    help="dispatch one superstep per device call and record "
+                         "real per-step seconds in result_superstep "
+                         "(beta.cpp:592-596); default fuses all supersteps "
+                         "into one call and divides its total")
     from ..utils.dist import add_distributed_args, build_mesh, init_distributed
 
     add_distributed_args(ap)
@@ -116,6 +121,7 @@ def main(argv=None):
         engine = MatchEngine(
             graph, labels, pattern, constraints, num_ranks=num_ranks,
             source_batch=args.batch, lcc_engine=args.lcc_engine, mesh=mesh,
+            superstep_timing=args.superstep_timing,
         )
         result = engine.run(max_iterations=args.max_iterations)
         print(

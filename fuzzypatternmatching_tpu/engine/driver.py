@@ -46,6 +46,7 @@ class MatchEngine:
         source_batch: int = 1 << 16,
         nlcc_mode: str = "auto",
         nlcc_device_min: int = 1 << 19,
+        superstep_timing: bool = False,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
@@ -59,6 +60,11 @@ class MatchEngine:
         # more than a sub-ms numpy pass) and moves big ones on-device
         self.nlcc_mode = nlcc_mode
         self.nlcc_device_min = nlcc_device_min
+        # timing mode: dispatch one superstep per device call and record its
+        # real wall time in result_superstep, like the reference's per-step
+        # MPI_Wtime brackets (beta.cpp:592-596). Production keeps the fused
+        # init+scan call (one host round trip) and divides the call total.
+        self.superstep_timing = superstep_timing
         if lcc_engine == "sharded" or mesh is not None:
             from ..parallel.sharded import ShardedLccEngine
 
@@ -109,6 +115,26 @@ class MatchEngine:
         self, state, global_init: bool, itr: int, result: MatchResult,
         allow_compact: bool = True,
     ):
+        if self.superstep_timing:
+            # one device call per superstep, each timed for real
+            rows_t, dts = [], []
+            died_any = False
+            first = global_init
+            for _ in range(self.pattern.diameter):
+                t0 = time.perf_counter()
+                state, r1, d1 = self.lcc.lcc_call(state, first, n_steps=1)
+                dts.append(time.perf_counter() - t0)
+                rows_t += r1
+                died_any = died_any or d1
+                first = False
+            for s, (row, dt) in enumerate(zip(rows_t, dts)):
+                av, ae, msgs, per_rank = row
+                result.rows.append(
+                    PhaseRow(itr, "LP", s, av, ae, msgs, dt, per_rank)
+                )
+                result.traversed_edges += msgs
+            return state, died_any
+
         compactable = (
             allow_compact
             and self._compact_ok

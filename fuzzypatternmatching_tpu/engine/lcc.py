@@ -184,7 +184,8 @@ class LccEngine:
         return np.asarray(state.tv), np.asarray(state.edge_alive)
 
     def lcc_call(
-        self, state: LccState, global_init_step: bool
+        self, state: LccState, global_init_step: bool,
+        n_steps: int | None = None,
     ) -> tuple[LccState, list[tuple], bool]:
         """One label_propagation_pattern_matching_bsp call: ``diameter``
         supersteps. Returns (state, per-superstep
@@ -192,7 +193,7 @@ class LccEngine:
         tv, alive, flag = state.tv, state.edge_alive, state.tp_flag
         rows = []
         any_died = False
-        for s in range(self.p.diameter):
+        for s in range(self.p.diameter if n_steps is None else n_steps):
             init = s == 0 and global_init_step
             if init:
                 tv = self.label_tv  # all vertices start active (beta.cpp:491)

@@ -262,7 +262,7 @@ class ShardedLccEngine:
         sh3 = P("x", None, None)
         op_specs = (sh, sh, sh, sh, sh, sh3, sh3, sh3, sh3, sh, sh, sh)
 
-        def make_call(init: bool):
+        def make_call(init: bool, n_steps_total: int):
             def call(tv, alive, flag, ops):
                 smap = lambda f: jax.shard_map(
                     f,
@@ -270,7 +270,7 @@ class ShardedLccEngine:
                     in_specs=(sh, sh, sh, op_specs),
                     out_specs=(sh, sh, sh, (P(), P(), P(), P())),
                 )
-                n_steps = self.p.diameter
+                n_steps = n_steps_total
                 head = []
                 if init:
                     tv, alive, flag, st = smap(
@@ -294,8 +294,8 @@ class ShardedLccEngine:
 
             return jax.jit(call)
 
-        self._call_init = make_call(True)
-        self._call_cont = make_call(False)
+        self._make_call = make_call
+        self._call_cache = {}
 
     # ---------------------------------------------------------------- spmd
 
@@ -525,12 +525,21 @@ class ShardedLccEngine:
             tp_flag=flag,
         )
 
-    def lcc_call(self, state: ShardedState, global_init_step: bool):
+    def lcc_call(
+        self, state: ShardedState, global_init_step: bool,
+        n_steps: int | None = None,
+    ):
+        if n_steps is None:
+            n_steps = self.p.diameter
         tv, alive, flag = state.tv, state.edge_alive, state.tp_flag
         if global_init_step:
             tv = self.label_tv
-        call = self._call_init if global_init_step else self._call_cont
-        tv, alive, flag, head, st_scan = call(tv, alive, flag, self._ops)
+        key = (global_init_step, n_steps)
+        if key not in self._call_cache:
+            self._call_cache[key] = self._make_call(global_init_step, n_steps)
+        tv, alive, flag, head, st_scan = self._call_cache[key](
+            tv, alive, flag, self._ops
+        )
         rows = []
         any_died = False
 
