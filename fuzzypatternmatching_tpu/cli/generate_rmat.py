@@ -27,23 +27,48 @@ def main(argv=None):
     ap.add_argument("-d", "--edges-per-vertex", type=int, default=16)
     ap.add_argument("--no-scramble", action="store_true")
     ap.add_argument("-b", "--backup", default=None)
+    ap.add_argument("--in-memory", action="store_true",
+                    help="materialize the full stream and CSR in RAM "
+                         "(default: chunked spill build with "
+                         "O(V + E/partitions) peak memory, "
+                         "ipp:398-608 analog)")
     args = ap.parse_args(argv)
 
     t0 = time.time()
-    src, dst = rmat_all_ranks(
-        scale=args.scale,
-        n_ranks=args.partitions,
-        edges_per_vertex=args.edges_per_vertex,
-        scramble=not args.no_scramble,
-    )
-    print(f"generated {src.size} directed edge entries in {time.time()-t0:.1f}s")
-    t0 = time.time()
-    g = from_edges(src, dst, num_vertices=1 << args.scale)
-    print(
-        f"built CSR: V={g.num_vertices} E={g.num_edges} "
-        f"max_degree={int(g.raw_degree.max())} in {time.time()-t0:.1f}s"
-    )
-    storage.save(g, args.output, num_shards=args.partitions)
+    if args.in_memory:
+        src, dst = rmat_all_ranks(
+            scale=args.scale,
+            n_ranks=args.partitions,
+            edges_per_vertex=args.edges_per_vertex,
+            scramble=not args.no_scramble,
+        )
+        print(
+            f"generated {src.size} directed edge entries in "
+            f"{time.time()-t0:.1f}s"
+        )
+        t0 = time.time()
+        g = from_edges(src, dst, num_vertices=1 << args.scale)
+        print(
+            f"built CSR: V={g.num_vertices} E={g.num_edges} "
+            f"max_degree={int(g.raw_degree.max())} in {time.time()-t0:.1f}s"
+        )
+        storage.save(g, args.output, num_shards=args.partitions)
+    else:
+        from ..graph.build import build_rmat_db
+
+        build_rmat_db(
+            args.output,
+            scale=args.scale,
+            n_ranks=args.partitions,
+            num_shards=args.partitions,
+            edges_per_vertex=args.edges_per_vertex,
+            scramble=not args.no_scramble,
+        )
+        db = storage.open_db(args.output)
+        print(
+            f"chunked build: V={db.num_vertices} E={db.num_edges} "
+            f"max_degree={int(db.raw_degree.max())} in {time.time()-t0:.1f}s"
+        )
     print(f"saved graph DB to {args.output}")
     if args.backup:
         storage.transfer(args.output, args.backup)

@@ -20,13 +20,37 @@ def main(argv=None):
     ap.add_argument("-u", "--undirected", action="store_true",
                     help="emit both directions of each entry")
     ap.add_argument("-p", "--partitions", type=int, default=4)
+    ap.add_argument("--chunked", action="store_true",
+                    help="bounded-memory build: one file at a time spills "
+                         "to owner shards (needs --num-vertices)")
+    ap.add_argument("--num-vertices", type=int, default=None,
+                    help="vertex-id space for --chunked (max id + 1)")
     ap.add_argument("files", nargs="+")
     args = ap.parse_args(argv)
 
-    src, dst, edge_data = read_edge_lists(args.files, undirected=args.undirected)
-    g = from_edges(src, dst)
-    print(f"built CSR: V={g.num_vertices} E={g.num_edges}")
-    storage.save(g, args.output, num_shards=args.partitions)
+    if args.chunked:
+        if args.num_vertices is None:
+            ap.error("--chunked requires --num-vertices")
+        from ..graph.build import build_db_from_chunks
+
+        def chunks():
+            for path in args.files:
+                s, d, _ = read_edge_lists([path], undirected=args.undirected)
+                yield s, d
+
+        build_db_from_chunks(
+            args.output, chunks(), args.num_vertices,
+            num_shards=args.partitions,
+        )
+        db = storage.open_db(args.output)
+        print(f"chunked build: V={db.num_vertices} E={db.num_edges}")
+    else:
+        src, dst, edge_data = read_edge_lists(
+            args.files, undirected=args.undirected
+        )
+        g = from_edges(src, dst)
+        print(f"built CSR: V={g.num_vertices} E={g.num_edges}")
+        storage.save(g, args.output, num_shards=args.partitions)
     print(f"saved graph DB to {args.output}")
 
 

@@ -50,6 +50,15 @@ def main(argv=None):
     ap.add_argument("--max-iterations", type=int, default=100)
     ap.add_argument("--lcc-engine", choices=["bucketed", "flat", "sharded"],
                     default="bucketed")
+    ap.add_argument("--counting", action="store_true",
+                    help="counting-LCC: require per-neighbor-label-class "
+                         "count thresholds from the template "
+                         "(label_propagation_pattern_matching_nonunique_"
+                         "counting_ee.hpp); implies --lcc-engine flat")
+    ap.add_argument("--mmap", action="store_true",
+                    help="per-shard open (db_open analog): edge arrays stay "
+                         "memmapped, no global CSR on this host; requires "
+                         "--lcc-engine sharded")
     ap.add_argument("--output-vertex-data", action="store_true",
                     help="dump all_ranks_vertex_data files (beta.cpp:379)")
     ap.add_argument("--superstep-timing", action="store_true",
@@ -66,11 +75,19 @@ def main(argv=None):
 
     enable_persistent_cache()
     init_distributed(args)
+    if args.counting:
+        args.lcc_engine = "flat"
     mesh = build_mesh() if args.lcc_engine == "sharded" else None
 
     if args.backup:
         storage.transfer(args.backup, args.input)
-    graph, stored_labels, _ = storage.load(args.input)
+    if args.mmap:
+        if args.lcc_engine != "sharded":
+            ap.error("--mmap requires --lcc-engine sharded")
+        graph = storage.open_db(args.input)
+        stored_labels = graph.labels
+    else:
+        graph, stored_labels, _ = storage.load(args.input)
     print(f"opened graph DB: V={graph.num_vertices} E={graph.num_edges}")
     labels = resolve_labels(graph, args.vertex_data, stored_labels)
     if args.vertex_data is None and stored_labels is None:
@@ -121,7 +138,7 @@ def main(argv=None):
         engine = MatchEngine(
             graph, labels, pattern, constraints, num_ranks=num_ranks,
             source_batch=args.batch, lcc_engine=args.lcc_engine, mesh=mesh,
-            superstep_timing=args.superstep_timing,
+            superstep_timing=args.superstep_timing, counting=args.counting,
         )
         result = engine.run(max_iterations=args.max_iterations)
         print(

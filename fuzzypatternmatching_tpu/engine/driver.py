@@ -47,6 +47,7 @@ class MatchEngine:
         nlcc_mode: str = "auto",
         nlcc_device_min: int = 1 << 19,
         superstep_timing: bool = False,
+        counting: bool = False,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
@@ -65,13 +66,30 @@ class MatchEngine:
         # MPI_Wtime brackets (beta.cpp:592-596). Production keeps the fused
         # init+scan call (one host round trip) and divides the call total.
         self.superstep_timing = superstep_timing
+        # counting-LCC (neighbor-label count thresholds,
+        # counting_ee.hpp): supported by the flat engine + oracle
+        self.counting = counting
+        if counting and lcc_engine != "flat":
+            raise ValueError("counting mode requires lcc_engine='flat'")
         if lcc_engine == "sharded" or mesh is not None:
             from ..parallel.sharded import ShardedLccEngine
 
             self.lcc = ShardedLccEngine(graph, self.labels, pattern, mesh=mesh)
         else:
-            cls = BucketedLccEngine if lcc_engine == "bucketed" else LccEngine
-            self.lcc = cls(graph, self.labels, pattern, num_ranks=num_ranks)
+            if not isinstance(graph, Graph):
+                raise TypeError(
+                    "a lazily-opened GraphDb (storage.open_db) requires "
+                    "lcc_engine='sharded'; other engines need storage.load"
+                )
+            if lcc_engine == "bucketed":
+                self.lcc = BucketedLccEngine(
+                    graph, self.labels, pattern, num_ranks=num_ranks
+                )
+            else:
+                self.lcc = LccEngine(
+                    graph, self.labels, pattern, num_ranks=num_ranks,
+                    counting=counting,
+                )
         # NLCC accelerator engine: on a mesh the token walks run distributed
         # (parallel/nlcc_sharded.py: all_to_all routing + shard-local dedup);
         # single-device runs use the one-chip frontier programs
@@ -89,10 +107,6 @@ class MatchEngine:
                 )
         else:
             self._dev_nlcc = None
-        # sorted (row*V + col) keys for O(log E) edge-slot lookup
-        self._edge_keys = graph.edge_row.astype(np.uint64) * np.uint64(
-            graph.num_vertices
-        ) + graph.cols.astype(np.uint64)
         # compact continuation (run supersteps 1+ on the pruned subgraph) is
         # exact only when every template vertex requires hearing at least
         # one neighbor class; vertices with no alive edges then always die
@@ -105,10 +119,13 @@ class MatchEngine:
         self._sub_cache: tuple | None = None  # (fingerprint, engine)
 
     def _edge_index(self, v: int, u: int) -> int:
-        key = np.uint64(v) * np.uint64(self.graph.num_vertices) + np.uint64(u)
-        i = int(np.searchsorted(self._edge_keys, key))
-        if i < len(self._edge_keys) and self._edge_keys[i] == key:
-            return i
+        """Edge slot of (v, u): binary search within v's sorted CSR row
+        (no E-sized key array; works for lazy GraphDb graphs too)."""
+        lo, hi = int(self.graph.row_ptr[v]), int(self.graph.row_ptr[v + 1])
+        row_cols = self.graph.cols_range(lo, hi)
+        i = int(np.searchsorted(row_cols, u))
+        if i < hi - lo and row_cols[i] == u:
+            return lo + i
         return -1
 
     def _lcc_phase(
@@ -245,11 +262,21 @@ class MatchEngine:
         work = self._dev_nlcc._first_expansion(acsr, sources)
         return work >= self.nlcc_device_min
 
+    def _edge_keys_cached(self) -> np.ndarray:
+        """Sorted (row*V + col) keys — built lazily, only on the bucketed
+        compact path (which always holds a materialized Graph)."""
+        if getattr(self, "_edge_keys", None) is None:
+            self._edge_keys = self.graph.edge_row.astype(np.uint64) * np.uint64(
+                self.graph.num_vertices
+            ) + self.graph.cols.astype(np.uint64)
+        return self._edge_keys
+
     def _state_from_pairs(self, tv, arow, acol):
         """Full-engine state with the alive set given as (row, col) pairs."""
+        edge_keys = self._edge_keys_cached()
         keys = arow.astype(np.uint64) * np.uint64(self.graph.num_vertices) + acol.astype(np.uint64)
-        pos = np.searchsorted(self._edge_keys, keys)
-        eids = pos[self._edge_keys[np.minimum(pos, len(self._edge_keys) - 1)] == keys]
+        pos = np.searchsorted(edge_keys, keys)
+        eids = pos[edge_keys[np.minimum(pos, len(edge_keys) - 1)] == keys]
         return self.lcc.state_from_edge_ids(tv, eids)
 
     def run(self, max_iterations: int = 100) -> MatchResult:

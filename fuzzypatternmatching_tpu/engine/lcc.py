@@ -53,6 +53,7 @@ class LccEngine:
         labels: np.ndarray,
         pattern: PatternGraph,
         num_ranks: int = 1,
+        counting: bool = False,
     ):
         self.graph = graph
         self.p = pattern
@@ -77,6 +78,22 @@ class LccEngine:
         self.label_tv = jnp.asarray(
             pattern.label_match_bitset(np.asarray(labels)), dtype=jnp.uint32
         )
+        # counting-LCC mode (label_propagation_pattern_matching_nonunique_
+        # counting_ee.hpp): candidate i additionally requires >=
+        # required[i, j] distinct valid-parent neighbors of label class j —
+        # dense count segment-sums next to the bit-OR. The deduplicated
+        # adjacency makes every accepted slot a distinct neighbor.
+        self.counting = counting
+        if counting:
+            class_labels, self.required = pattern.neighbor_label_counts()
+            lab = np.asarray(labels)
+            sender_class = np.zeros(graph.num_edges, dtype=np.uint8)
+            for j, cl in enumerate(class_labels):
+                sender_class[lab[graph.cols] == cl] = j + 1
+            self.col_class = jnp.asarray(sender_class)
+        else:
+            self.required = None
+            self.col_class = jnp.zeros(graph.num_edges, dtype=jnp.uint8)
         self._step = jax.jit(partial(self._superstep), static_argnames=("init",))
 
     # -- helpers -----------------------------------------------------------
@@ -111,7 +128,7 @@ class LccEngine:
 
     def _superstep(
         self, tv, edge_alive, tp_flag, col, erow, rev, rev_valid, owner,
-        *, init: bool,
+        col_class=None, *, init: bool,
     ):
         # graph arrays arrive as jit ARGUMENTS: closing over them would
         # embed hundreds of MB of constants in the serialized HLO
@@ -138,6 +155,24 @@ class LccEngine:
 
         in_map = tn != 0  # received at least one valid-parent message
         new_tv = tv & self._keep_mask(tn)
+        if self.counting:
+            keep_cnt = jnp.zeros(v, dtype=jnp.uint32)
+            for i in range(self.k):
+                acc_i = (pa & self.adj_all[i]) != 0
+                ok_i = jnp.ones(v, dtype=bool)
+                for j in range(self.required.shape[1]):
+                    req = int(self.required[i, j])
+                    if req <= 0:
+                        continue
+                    cnt = jax.ops.segment_sum(
+                        (acc_i & (col_class == j + 1)).astype(jnp.int32),
+                        erow, num_segments=v,
+                    )
+                    ok_i = ok_i & (cnt >= req)
+                keep_cnt = keep_cnt | jnp.where(
+                    ok_i, jnp.uint32(1 << i), jnp.uint32(0)
+                )
+            new_tv = new_tv & keep_cnt
         if init:
             new_tv = jnp.where(in_map, new_tv, jnp.uint32(0))
             died_from_map = in_map & (new_tv == 0)
@@ -199,7 +234,7 @@ class LccEngine:
                 tv = self.label_tv  # all vertices start active (beta.cpp:491)
             tv, alive, flag, stats = self._step(
                 tv, alive, flag, self.col, self.erow, self.rev,
-                self.rev_valid, self.owner, init=init,
+                self.rev_valid, self.owner, self.col_class, init=init,
             )
             av_r, ae_r, msg_r, died = stats
             av_r = np.asarray(av_r)

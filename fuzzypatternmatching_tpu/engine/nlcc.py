@@ -58,25 +58,39 @@ class AliveCsr:
         np.cumsum(counts, out=ptr[1:])
         return cls(ptr=ptr, col=acol.astype(np.int64))
 
-    # token frontiers beyond this size abort with guidance rather than
-    # exhausting host memory (tds_batch's -x analog caps sources, not walks)
+    # accumulated (post-filter) frontiers beyond this size abort with
+    # guidance rather than exhausting host memory; RAW expansion is never
+    # materialized beyond EXPAND_CHUNK entries at a time (per-hop chunking,
+    # the walk-side analog of tds_batch's source batching)
     MAX_FRONTIER = 1 << 28
+    EXPAND_CHUNK = 1 << 25
 
     def expand(self, vs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All alive neighbors of each vs[i]: returns (token_index, neighbor)
         with one row per (i, nbr) pair."""
         cnt = self.ptr[vs + 1] - self.ptr[vs]
         total = int(cnt.sum())
-        if total > self.MAX_FRONTIER:
-            raise MemoryError(
-                f"token frontier would reach {total} entries; re-run with a "
-                "smaller token-source batch (-x) or tighten the pattern's "
-                "local constraints"
-            )
         rep = np.repeat(np.arange(len(vs), dtype=np.int64), cnt)
         offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         nbr = self.col[self.ptr[vs][rep] + offs]
         return rep, nbr
+
+    def expand_slices(self, vs: np.ndarray, chunk: int | None = None):
+        """Yield (lo, hi, rep, nbr) covering ``vs`` in slices whose raw
+        expansion stays within ~``chunk`` entries (single rows may exceed
+        it; a row is never split)."""
+        if chunk is None:
+            chunk = self.EXPAND_CHUNK
+        cnt = self.ptr[vs + 1] - self.ptr[vs]
+        cum = np.cumsum(cnt)
+        lo = 0
+        while lo < len(vs):
+            base = cum[lo - 1] if lo else 0
+            hi = int(np.searchsorted(cum, base + chunk, side="left")) + 1
+            hi = min(max(hi, lo + 1), len(vs))
+            rep, nbr = self.expand(vs[lo:hi])
+            yield lo, hi, rep, nbr
+            lo = hi
 
 
 @dataclass
@@ -138,12 +152,65 @@ def token_sources(
     return np.nonzero(mask)[0].astype(np.int64)
 
 
+def _in_sorted_np(sorted_arr: np.ndarray, q: np.ndarray) -> np.ndarray:
+    if len(sorted_arr) == 0:
+        return np.zeros(len(q), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_arr, q), len(sorted_arr) - 1)
+    return sorted_arr[pos] == q
+
+
 def _arrival_ok(
     cur: np.ndarray, labels: np.ndarray, tv: np.ndarray, c, h: int
 ) -> np.ndarray:
     return (labels[cur] == c.labels[h]) & (
         (tv[cur] >> int(c.indices[h])) & 1
     ).astype(bool)
+
+
+def _expand_nem_hop(
+    acsr: AliveCsr,
+    v_sel: np.ndarray,
+    s_sel: np.ndarray,
+    p_sel: np.ndarray,
+    labels: np.ndarray,
+    tv: np.ndarray,
+    c: NonLocalConstraint,
+    h_next: int,
+    num_ranks: int,
+    drop_parent_return: bool,
+):
+    """One hop of token fan-out in bounded slices: every arrival is counted
+    (message accounting lives here), then only tokens passing the
+    hop-``h_next`` label/bit arrival check are kept — the raw expansion is
+    never materialized at once (per-hop chunking; the MemoryError abort of
+    round 1 is gone)."""
+    messages = 0
+    msg_r = np.zeros(num_ranks, dtype=np.int64)
+    cur_p, src_p, par_p = [], [], []
+    kept = 0
+    for lo, hi, rep, nbr in acsr.expand_slices(v_sel):
+        if drop_parent_return:
+            keep = nbr != p_sel[lo:hi][rep]
+            nbr, rep = nbr[keep], rep[keep]
+        messages += len(nbr)
+        if len(nbr):
+            msg_r += np.bincount(nbr % num_ranks, minlength=num_ranks)
+        ok = _arrival_ok(nbr, labels, tv, c, h_next)
+        kept += int(ok.sum())
+        if kept > AliveCsr.MAX_FRONTIER:
+            raise MemoryError(
+                f"surviving token frontier exceeds {AliveCsr.MAX_FRONTIER} "
+                "entries even after per-hop arrival filtering; tighten the "
+                "pattern's local constraints"
+            )
+        cur_p.append(nbr[ok])
+        src_p.append(s_sel[lo:hi][rep][ok])
+        par_p.append(v_sel[lo:hi][rep][ok])
+    e = np.empty(0, dtype=np.int64)
+    cur = np.concatenate(cur_p) if cur_p else e
+    src = np.concatenate(src_p) if src_p else e
+    parent = np.concatenate(par_p) if par_p else e
+    return cur, src, parent, messages, msg_r
 
 
 def run_nem(
@@ -183,17 +250,18 @@ def run_nem(
         batch = sources[lo : lo + batch_size]
         if len(batch) == 0:
             continue
-        rep, nbr = acsr.expand(batch)
-        cur, src, parent = nbr, batch[rep], batch[rep]
+        cur, src, parent, m, mr = _expand_nem_hop(
+            acsr, batch, batch, batch, labels, tv, c, 1, num_ranks, False
+        )
+        messages += m
+        msg_r += mr
         for h in range(1, maxi + 2):
-            messages += len(cur)
             if len(cur) == 0:
                 break
-            msg_r += np.bincount(cur % num_ranks, minlength=num_ranks)
-            ok = _arrival_ok(cur, labels, tv, c, h)
+            # label/bit arrival checks for hop h were applied at expansion
             if h == maxi + 1:
                 if not c.valid_cycle:
-                    acc = ok & (cur != src)
+                    acc = cur != src
                     if c.selected_vertices:
                         # validate destinations that forwarded this source
                         acc &= forwarded.contains(cur * vv + src)
@@ -202,13 +270,16 @@ def run_nem(
                                 validated[src_pos[int(d)]] = True
                         break
                 else:
-                    acc = ok & (cur == src)
+                    # a cycle source missing from the map is dropped, like
+                    # the reference's error path (nem_1.hpp:750-755) —
+                    # reachable only via a malformed selected+cycle combo
+                    acc = (cur == src) & _in_sorted_np(map_keys, src)
                     for v, p in zip(cur[acc], parent[acc]):
                         edge_marks.append((int(v), int(p)))
                 for s in np.unique(src[acc]):
                     validated[src_pos[int(s)]] = True
                 break
-            ok &= cur != src  # the target cannot relay (nem_1.hpp:173-177)
+            ok = cur != src  # the target cannot relay (nem_1.hpp:173-177)
             keys = cur * vv + src
             ok &= ~forwarded.contains(keys)
             k_ok, p_ok = keys[ok], parent[ok]
@@ -221,11 +292,12 @@ def run_nem(
             sel = order[first]
             forwarded.add(k_sorted[first])
             v_sel, s_sel, p_sel = cur_ok[sel], src_ok[sel], p_ok[sel]
-            rep, nbr = acsr.expand(v_sel)
-            keep = nbr != p_sel[rep]  # don't return to the received-from parent
-            cur = nbr[keep]
-            src = s_sel[rep][keep]
-            parent = v_sel[rep][keep]
+            cur, src, parent, m, mr = _expand_nem_hop(
+                acsr, v_sel, s_sel, p_sel, labels, tv, c, h + 1, num_ranks,
+                True,
+            )
+            messages += m
+            msg_r += mr
     return NlccOutcome(map_keys if c.selected_vertices else sources, validated, messages, edge_marks, None, msg_r)
 
 
@@ -272,26 +344,89 @@ def run_tds(
     msg_r = np.zeros(num_ranks, dtype=np.int64)
     sub_parts: list[np.ndarray] = []
 
+    def expand_hop(cur, tgt, visited, h):
+        """Walk fan-out for hop h+1 in bounded slices: apply the sender-side
+        keep rules (penultimate-hop target rules + enumeration lookahead),
+        count the surviving arrivals, then keep only tokens passing the
+        hop-(h+1) arrival check — the raw expansion and the [N, W] history
+        matrix are never materialized at once."""
+        nonlocal messages, msg_r
+        cur_p, tgt_p, vis_p = [], [], []
+        kept = 0
+        for lo, hi, rep, nbr in acsr.expand_slices(cur):
+            tgt_r, vis_r = tgt[lo:hi][rep], visited[lo:hi][rep]
+            if h == maxi:
+                # penultimate hop (tds_batch_1.hpp:806-846)
+                if c.valid_cycle:
+                    keep = nbr == tgt_r  # cycle closes on the target; no enum
+                else:
+                    keep = nbr != tgt_r
+            else:
+                keep = np.ones(len(nbr), dtype=bool)
+            if not (h == maxi and c.valid_cycle):
+                k2 = int(enum[h + 1])
+                if k2 == h + 1:
+                    keep &= ~np.any(vis_r == nbr[:, None], axis=1)
+                elif k2 < h + 1:
+                    keep &= vis_r[:, k2] == nbr
+                else:
+                    keep &= False
+            nbr, tgt_r, vis_r = nbr[keep], tgt_r[keep], vis_r[keep]
+            messages += len(nbr)
+            if len(nbr):
+                msg_r += np.bincount(nbr % num_ranks, minlength=num_ranks)
+            ok = _arrival_ok(nbr, labels, tv, c, h + 1)
+            kept += int(ok.sum())
+            if kept > AliveCsr.MAX_FRONTIER:
+                raise MemoryError(
+                    "surviving TDS walk frontier exceeds "
+                    f"{AliveCsr.MAX_FRONTIER} entries even after per-hop "
+                    "filtering; reduce the token-source batch (-x) or "
+                    "tighten the pattern"
+                )
+            cur_p.append(nbr[ok])
+            tgt_p.append(tgt_r[ok])
+            vis_p.append(vis_r[ok])
+        e = np.empty(0, dtype=np.int64)
+        w = visited.shape[1]
+        return (
+            np.concatenate(cur_p) if cur_p else e,
+            np.concatenate(tgt_p) if tgt_p else e,
+            np.concatenate(vis_p) if vis_p else np.empty((0, w), np.int64),
+        )
+
     for lo in range(0, max(len(starts), 1), source_batch):
         batch = starts[lo : lo + source_batch]
         btgt = targets[lo : lo + source_batch]
         if len(batch) == 0:
             continue
-        rep, nbr = acsr.expand(batch)
-        cur, tgt = nbr, btgt[rep]
-        visited = batch[rep][:, None]  # positions 0..h-1 per token
+        # initial fan-out (position-0 send) — counted and arrival-filtered
+        # for hop 1, like every later hop
+        cur_p, tgt_p, vis_p = [], [], []
+        for slo, shi, rep, nbr in acsr.expand_slices(batch):
+            messages += len(nbr)
+            if len(nbr):
+                msg_r += np.bincount(nbr % num_ranks, minlength=num_ranks)
+            ok = _arrival_ok(nbr, labels, tv, c, 1)
+            cur_p.append(nbr[ok])
+            tgt_p.append(btgt[slo:shi][rep][ok])
+            vis_p.append(batch[slo:shi][rep][ok][:, None])
+        e = np.empty(0, dtype=np.int64)
+        cur = np.concatenate(cur_p) if cur_p else e
+        tgt = np.concatenate(tgt_p) if tgt_p else e
+        visited = (
+            np.concatenate(vis_p) if vis_p else np.empty((0, 1), np.int64)
+        )
         for h in range(1, maxi + 2):
-            messages += len(cur)
             if len(cur) == 0:
                 break
-            msg_r += np.bincount(cur % num_ranks, minlength=num_ranks)
-            ok = _arrival_ok(cur, labels, tv, c, h)
+            # label/bit arrival checks for hop h were applied at expansion
             if h == maxi + 1:
                 if not c.valid_cycle:
-                    acc = ok & (cur != tgt)
+                    acc = cur != tgt
                     emit = acc  # path writes before the ack (…hpp:684-696)
                 else:
-                    acc = ok & (cur == tgt) & (visited[:, 0] == cur)
+                    acc = (cur == tgt) & (visited[:, 0] == cur)
                     # cycle writes only after the map lookup succeeds
                     emit = acc & np.isin(tgt, sources)
                 for s in np.unique(tgt[acc]):
@@ -307,6 +442,7 @@ def run_tds(
             # receiver-side enumeration rule for position h
             # (tds_batch_1.hpp:620-639)
             k = int(enum[h])
+            ok = np.ones(len(cur), dtype=bool)
             if k == h:
                 ok &= ~np.any(visited == cur[:, None], axis=1)
             elif k < h:
@@ -314,26 +450,8 @@ def run_tds(
             else:
                 ok &= False
             cur, tgt, visited = cur[ok], tgt[ok], visited[ok]
-            visited2 = np.hstack([visited, cur[:, None]])
-            rep, nbr = acsr.expand(cur)
-            tgt_r, vis_r = tgt[rep], visited2[rep]
-            if h == maxi:
-                # penultimate hop (tds_batch_1.hpp:806-846)
-                if c.valid_cycle:
-                    keep = nbr == tgt_r  # cycle closes on the target; no enum
-                    cur, tgt, visited = nbr[keep], tgt_r[keep], vis_r[keep]
-                    continue
-                keep = nbr != tgt_r
-            else:
-                keep = np.ones(len(nbr), dtype=bool)
-            k2 = int(enum[h + 1])
-            if k2 == h + 1:
-                keep &= ~np.any(vis_r == nbr[:, None], axis=1)
-            elif k2 < h + 1:
-                keep &= vis_r[:, k2] == nbr
-            else:
-                keep &= False
-            cur, tgt, visited = nbr[keep], tgt_r[keep], vis_r[keep]
+            visited = np.hstack([visited, cur[:, None]])
+            cur, tgt, visited = expand_hop(cur, tgt, visited, h)
 
     subgraphs = (
         np.vstack(sub_parts)

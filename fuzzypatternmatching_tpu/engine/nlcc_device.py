@@ -161,7 +161,10 @@ class DeviceNlcc:
                     else:
                         validated = validated.at[src].max(acc, mode="drop")
                 else:
-                    acc = ok & (cur == src)
+                    acc = (
+                        ok & (cur == src)
+                        & (((ok_bits[cur] >> 31) & 1) != 0)
+                    )
                     validated = validated.at[src].max(acc, mode="drop")
                     mark_v, mark_p, mark_acc = cur, parent, acc
                 break
@@ -281,18 +284,25 @@ class DeviceNlcc:
 
     # -- host-side helpers ---------------------------------------------------
 
-    def _ok_bits(self, labels, tv, c: NonLocalConstraint) -> np.ndarray:
+    def _ok_bits(
+        self, labels, tv, c: NonLocalConstraint,
+        map_keys: np.ndarray | None = None,
+    ) -> np.ndarray:
         """Per-vertex uint32 bitmask: bit h set iff the vertex passes the
         hop-h arrival check (label + template-vertex bit); bit 0 set iff it
-        qualifies as a token source (the token_source_map membership test).
-        tv is fixed for the duration of one constraint run, so this is
-        precomputable."""
+        qualifies as a token source (the token_source_map membership test);
+        bit 31 set iff the vertex is a token_source_map key (cycle
+        acceptance drops tokens whose source is missing from the map, like
+        the reference's error path — nem_1.hpp:750-755). tv is fixed for
+        the duration of one constraint run, so this is precomputable."""
         bits = np.zeros(self.V, dtype=np.uint32)
         for h in range(0, c.cycle_length + 2):
             ok = (labels == c.labels[h]) & (
                 ((tv >> int(c.indices[h])) & 1) != 0
             )
             bits |= ok.astype(np.uint32) << np.uint32(h)
+        if map_keys is not None:
+            bits[map_keys] |= np.uint32(1) << np.uint32(31)
         return bits
 
     def _first_expansion(self, acsr: AliveCsr, sources: np.ndarray) -> int:
@@ -328,7 +338,7 @@ class DeviceNlcc:
         fpad = _pow2(len(forwarded.keys), lo=0) if len(forwarded.keys) else 0
         fwd_in = np.full(max(fpad, 1), _SENT, dtype=np.int64)
         fwd_in[: len(forwarded.keys)] = forwarded.keys
-        ok_bits = self._ok_bits(labels, tv, c)
+        ok_bits = self._ok_bits(labels, tv, c, map_keys=map_keys)
 
         with jax.enable_x64(True):
             args = (

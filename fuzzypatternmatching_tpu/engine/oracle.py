@@ -42,11 +42,19 @@ class MatchOracle:
         labels: np.ndarray,
         pattern: PatternGraph,
         constraints: list[NonLocalConstraint],
+        counting: bool = False,
     ):
         self.g = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
         self.p = pattern
         self.constraints = constraints
+        # counting-LCC mode (label_propagation_pattern_matching_nonunique_
+        # counting_ee.hpp): template vertex i additionally requires hearing
+        # from >= required[i, j] distinct valid-parent neighbors of each
+        # label class j (pattern.neighbor_label_counts docstring)
+        self.counting = counting
+        if counting:
+            self._class_labels, self._required = pattern.neighbor_label_counts()
         v = graph.num_vertices
         self.active = np.ones(v, dtype=bool)
         self.tv = np.zeros(v, dtype=np.uint32)  # template_vertices bitsets
@@ -123,12 +131,27 @@ class MatchOracle:
 
             # deliver: accumulate template_neighbors, mark active edges
             tn: dict[int, int] = {}
+            # counting mode: cnts[v][(i, j)] = distinct valid-parents-for-i
+            # of label class j heard this superstep (counting_ee.hpp:784-790)
+            cnts: dict[int, dict[tuple[int, int], int]] = {}
             for v, parent, bits in msgs:
                 if not self.active[v] or self.tv[v] == 0:
                     continue
                 if bits & self._accept_mask(int(self.tv[v])) == 0:
                     continue  # no valid parent among sender's bits
                 tn[v] = tn.get(v, 0) | bits
+                if self.counting:
+                    j = int(
+                        np.searchsorted(self._class_labels, self.labels[parent])
+                    )
+                    if (
+                        j < len(self._class_labels)
+                        and self._class_labels[j] == self.labels[parent]
+                    ):
+                        cv = cnts.setdefault(v, {})
+                        for i in range(self.p.vertex_count):
+                            if bits & int(self._adj_all[i]):
+                                cv[(i, j)] = cv.get((i, j), 0) + 1
                 if init:
                     self.alive[v][parent] = 1
                 elif parent in self.alive[v]:
@@ -154,6 +177,13 @@ class MatchOracle:
                 for i in range(self.p.vertex_count):
                     if cand >> i & 1 and not self._constraint_ok(i, tn_v):
                         cand &= ~(1 << i)
+                    elif cand >> i & 1 and self.counting:
+                        cv = cnts.get(v, {})
+                        for j in range(len(self._class_labels)):
+                            req = int(self._required[i, j])
+                            if req > 0 and cv.get((i, j), 0) < req:
+                                cand &= ~(1 << i)
+                                break
                 if cand == 0:
                     self.active[v] = False
                     self.tv[v] = 0
@@ -325,6 +355,12 @@ class MatchOracle:
                         token_source_map[src] = True
                     else:
                         if v != src:
+                            continue
+                        if src not in token_source_map:
+                            # the reference logs an error and drops the
+                            # token when the cycle source is missing from
+                            # the map (possible only for a malformed
+                            # selected+cycle constraint; nem_1.hpp:750-755)
                             continue
                         token_source_map[src] = True
                         if parent in self.alive[v]:

@@ -59,6 +59,13 @@ def _load():
         ctypes.c_void_p,
     ]
     lib.fpm_read_edge_list.restype = ctypes.c_int64
+    lib.fpm_rmat_spill_shards.argtypes = [
+        ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint64, ctypes.c_uint32,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint64,
+        ctypes.c_char_p, i64p,
+    ]
+    lib.fpm_rmat_spill_shards.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -91,6 +98,39 @@ def rmat_all_ranks_native(
         int(scramble), int(undirected), src, dst,
     )
     return src, dst
+
+
+def rmat_spill_shards_native(
+    spill_dir: str,
+    scale: int,
+    n_ranks: int,
+    num_shards: int,
+    block: int,
+    edges_per_vertex: int = 16,
+    scramble: bool = True,
+    undirected: bool = True,
+    base_seed: int = 5489,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    d: float = 0.05,
+) -> np.ndarray:
+    """Stream the multi-rank R-MAT into per-(shard, rank) packed-key spill
+    files with bounded memory; returns the raw (duplicate-inclusive)
+    degrees. See fpm_rmat_spill_shards."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    per_rank = (edges_per_vertex << scale) // n_ranks
+    deg = np.zeros(1 << scale, dtype=np.int64)
+    rc = lib.fpm_rmat_spill_shards(
+        base_seed, scale, per_rank, n_ranks, a, b, c, d,
+        int(scramble), int(undirected), num_shards, block,
+        spill_dir.encode(), deg,
+    )
+    if rc != 0:
+        raise IOError(f"spill generation failed in {spill_dir}")
+    return deg
 
 
 def read_edge_file_native(path: str):

@@ -227,7 +227,10 @@ class ShardedNlcc:
                             jnp.clip(a_src - vlo, 0, b - 1)
                         ].max(a_valid, mode="drop")
                 else:
-                    acc = ok & (cur == src)
+                    acc = (
+                        ok & (cur == src)
+                        & (((ok_bits[cur_loc] >> 31) & 1) != 0)
+                    )
                     validated = validated.at[cur_loc].max(acc, mode="drop")
                     mark_v, mark_p, mark_acc = cur, parent, acc
                 break
@@ -391,13 +394,21 @@ class ShardedNlcc:
 
     # -- host-side helpers ---------------------------------------------------
 
-    def _ok_bits(self, labels, tv, c: NonLocalConstraint) -> np.ndarray:
+    def _ok_bits(
+        self, labels, tv, c: NonLocalConstraint,
+        map_keys: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Bit h: hop-h arrival check; bit 31: token_source_map membership
+        (cycle tokens with a source missing from the map are dropped, like
+        the reference's error path — nem_1.hpp:750-755)."""
         bits = np.zeros(self.vpad, dtype=np.uint32)
         for h in range(0, c.cycle_length + 2):
             ok = (labels == c.labels[h]) & (
                 ((tv >> int(c.indices[h])) & 1) != 0
             )
             bits[: self.V] |= ok.astype(np.uint32) << np.uint32(h)
+        if map_keys is not None:
+            bits[map_keys] |= np.uint32(1) << np.uint32(31)
         return bits.reshape(self.n, self.block)
 
     def _partition(self, vals: np.ndarray, extra=None):
@@ -465,7 +476,7 @@ class ShardedNlcc:
         cap = _pow2(self._first_expansion(acsr, sources))
         src_p, cnt_p, _ = self._partition(sources)
         fwd_p, fpad = self._partition_keys(forwarded.keys)
-        ok_bits = self._ok_bits(labels, tv, c)
+        ok_bits = self._ok_bits(labels, tv, c, map_keys=map_keys)
 
         with jax.enable_x64(True):
             args = (

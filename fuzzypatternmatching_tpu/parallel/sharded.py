@@ -81,15 +81,17 @@ class ShardedLccEngine:
         self.ec = ec = max(-(-e // n), 1)
 
         # --- balanced contiguous edge chunks (rows may split: hub rows
-        # spanning a boundary are the delegate-splitting analog) ----------
-        erow = graph.edge_row
+        # spanning a boundary are the delegate-splitting analog). All graph
+        # reads go through the edge-range accessor protocol, so ``graph``
+        # may be a materialized Graph OR a storage.GraphDb (per-shard
+        # memmaps — no global CSR ever exists on this host) ----------------
         rowstart = np.zeros(n, dtype=np.int64)
         rowend = np.zeros(n, dtype=np.int64)
         for r in range(n):
             lo, hi = r * ec, min((r + 1) * ec, e)
             if lo < hi:
-                rowstart[r] = erow[lo]
-                rowend[r] = erow[hi - 1]
+                ends = graph.edge_row_at(np.array([lo, hi - 1], dtype=np.int64))
+                rowstart[r], rowend[r] = ends[0], ends[1]
             else:  # empty chunk: degenerate single-row range
                 rowstart[r] = rowend[r] = max(v - 1, 0)
         self.rmax = rmax = int(max(rowend - rowstart + 1))
@@ -101,9 +103,9 @@ class ShardedLccEngine:
         for r in range(n):
             lo, hi = r * ec, min((r + 1) * ec, e)
             cnt = hi - lo
-            lrow_s[r, :cnt] = erow[lo:hi] - rowstart[r]
+            lrow_s[r, :cnt] = graph.edge_row_range(lo, hi) - rowstart[r]
             evalid_s[r, :cnt] = True
-            col_chunks.append(graph.cols[lo:hi])
+            col_chunks.append(graph.cols_range(lo, hi))
 
         # --- tv halo: per chunk, the unique vertices whose tv it reads
         # (columns + own row range); request lists per owner ---------------
@@ -147,7 +149,7 @@ class ShardedLccEngine:
         rv_meta = []
         for r in range(n):
             lo, hi = r * ec, min((r + 1) * ec, e)
-            rv = graph.rev_edge[lo:hi]
+            rv = graph.rev_range(lo, hi)
             rv_ok = rv >= 0
             RU = np.unique(rv[rv_ok])
             owners = RU // ec
@@ -487,8 +489,8 @@ class ShardedLccEngine:
         al = np.asarray(state.edge_alive).reshape(-1)[: self.graph.num_edges]
         ids = np.nonzero(al)[0]
         state.pairs_cache = (
-            self.graph.edge_row[ids].astype(np.int64),
-            self.graph.cols[ids].astype(np.int64),
+            self.graph.edge_row_at(ids).astype(np.int64),
+            self.graph.cols_at(ids).astype(np.int64),
         )
         return state.pairs_cache
 

@@ -66,6 +66,27 @@ class PatternGraph:
     def neighbors(self, v: int) -> np.ndarray:
         return self.cols[self.row_ptr[v] : self.row_ptr[v + 1]]
 
+    def neighbor_label_counts(self) -> tuple[np.ndarray, np.ndarray]:
+        """The counting-LCC requirement table — the dense form of the
+        reference's ``vertex_neighbor_data_count_map`` (graph.hpp:360-380,
+        printed by label_propagation_pattern_matching_nonunique_counting_ee
+        .hpp:889-893): how many template neighbors of each label class every
+        template vertex has.
+
+        Returns (class_labels [L] uint64, required [K, L] int64): template
+        vertex i must hear from at least ``required[i, j]`` DISTINCT
+        graph neighbors of label ``class_labels[j]`` that are valid parents
+        for i ("I need three gov and two net", counting_ee.hpp:784-790)."""
+        class_labels = np.unique(self.vertex_data)
+        required = np.zeros(
+            (self.vertex_count, len(class_labels)), dtype=np.int64
+        )
+        for i in range(self.vertex_count):
+            for u in self.neighbors(i):
+                j = int(np.searchsorted(class_labels, self.vertex_data[u]))
+                required[i, j] += 1
+        return class_labels, required
+
     def label_match_bitset(self, labels: np.ndarray) -> np.ndarray:
         """uint16 candidate bitset per graph vertex: bit i set iff
         labels[v] == vertex_data[i] (lppm init step,

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <random>
 #include <thread>
 #include <vector>
@@ -159,6 +160,116 @@ void fpm_rmat_generate_ranks(uint64_t base_seed, uint32_t scale,
   std::vector<std::thread> ts;
   for (unsigned t = 0; t < std::min(hw, n_ranks); ++t) ts.emplace_back(worker);
   for (auto& t : ts) t.join();
+}
+
+// Streaming R-MAT -> per-shard spill files with bounded memory (the
+// chunked-construction analog of the reference's two-pass build,
+// impl/delegate_partitioned_graph.ipp:398-608). Each rank's stream is
+// generated on a worker thread; every directed edge (u, v) is appended as
+// the packed key u*V+v to spill file "<dir>/spill_<shard>_<rank>.bin"
+// where shard = u / block, through a per-(rank, shard) buffer. Degrees
+// accumulate into per-rank arrays merged under a mutex at rank end.
+// Returns 0 on success, -1 on I/O failure.
+int64_t fpm_rmat_spill_shards(uint64_t base_seed, uint32_t scale,
+                              uint64_t edges_per_rank, uint32_t n_ranks,
+                              double a0, double b0, double c0, double d0,
+                              int scramble, int undirected,
+                              uint32_t num_shards, uint64_t block,
+                              const char* spill_dir,
+                              int64_t* raw_degree /*V, zeroed by caller*/) {
+  const uint64_t V = uint64_t(1) << scale;
+  const double inv = 1.0 / 4294967296.0;
+  const size_t BUF = size_t(1) << 16;
+  std::atomic<uint32_t> next(0);
+  std::atomic<int> failed(0);
+  static std::mutex deg_mu;
+
+  auto worker = [&]() {
+    std::vector<int64_t> deg(V, 0);
+    std::vector<std::vector<uint64_t>> bufs(num_shards);
+    std::vector<FILE*> files(num_shards, nullptr);
+    for (auto& b : bufs) b.reserve(BUF);
+    char path[4096];
+    for (;;) {
+      uint32_t r = next.fetch_add(1);
+      if (r >= n_ranks) break;
+      for (uint32_t s = 0; s < num_shards; ++s) {
+        std::snprintf(path, sizeof(path), "%s/spill_%u_%u.bin", spill_dir, s,
+                      r);
+        files[s] = std::fopen(path, "wb");
+        if (!files[s]) {
+          failed.store(1);
+          break;
+        }
+      }
+      if (failed.load()) break;
+      auto emit = [&](uint64_t u, uint64_t v) {
+        deg[u]++;
+        uint32_t s = static_cast<uint32_t>(u / block);
+        auto& b = bufs[s];
+        b.push_back(u * V + v);
+        if (b.size() >= BUF) {
+          if (std::fwrite(b.data(), 8, b.size(), files[s]) != b.size())
+            failed.store(1);
+          b.clear();
+        }
+      };
+      std::mt19937 rng(static_cast<uint32_t>(base_seed + 3ull * r));
+      for (uint64_t e = 0; e < edges_per_rank && !failed.load(); ++e) {
+        double a = a0, b = b0, c = c0, d = d0;
+        uint64_t u = 0, v = 0;
+        uint64_t step = (uint64_t(1) << scale) / 2;
+        for (uint32_t j = 0; j < scale; ++j) {
+          double p = rng() * inv;
+          if (p < a) {
+          } else if (p < a + b) {
+            v += step;
+          } else if (p < a + b + c) {
+            u += step;
+          } else {
+            u += step;
+            v += step;
+          }
+          step /= 2;
+          a *= 0.9 + 0.2 * (rng() * inv);
+          b *= 0.9 + 0.2 * (rng() * inv);
+          c *= 0.9 + 0.2 * (rng() * inv);
+          d *= 0.9 + 0.2 * (rng() * inv);
+          double s = a + b + c + d;
+          a /= s;
+          b /= s;
+          c /= s;
+          d = 1.0 - a - b - c;
+        }
+        if (scramble) {
+          u = hash_nbits(u, static_cast<int>(scale));
+          v = hash_nbits(v, static_cast<int>(scale));
+        }
+        emit(u, v);
+        if (undirected) emit(v, u);
+      }
+      for (uint32_t s = 0; s < num_shards; ++s) {
+        if (!files[s]) continue;
+        auto& b = bufs[s];
+        if (!b.empty() &&
+            std::fwrite(b.data(), 8, b.size(), files[s]) != b.size())
+          failed.store(1);
+        b.clear();
+        std::fclose(files[s]);
+        files[s] = nullptr;
+      }
+      {
+        std::lock_guard<std::mutex> g(deg_mu);
+        for (uint64_t i = 0; i < V; ++i) raw_degree[i] += deg[i];
+        std::fill(deg.begin(), deg.end(), 0);
+      }
+    }
+  };
+  unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+  std::vector<std::thread> ts;
+  for (unsigned t = 0; t < std::min(hw, n_ranks); ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+  return failed.load() ? -1 : 0;
 }
 
 // CSR build: dedupe the directed stream, emit row_ptr/cols/rev/raw_degree.

@@ -1,0 +1,107 @@
+"""Chunked construction (graph/build.py) and per-shard open (GraphDb):
+bounded-memory builds must be byte-identical to the in-memory path, and a
+search over a lazily-opened DB must equal the materialized one."""
+
+import numpy as np
+import pytest
+
+from fuzzypatternmatching_tpu.engine.driver import MatchEngine
+from fuzzypatternmatching_tpu.generators.rmat import rmat_all_ranks
+from fuzzypatternmatching_tpu.graph import storage
+from fuzzypatternmatching_tpu.graph.build import (
+    build_db_from_chunks,
+    build_rmat_db,
+)
+from fuzzypatternmatching_tpu.graph.csr import degree_labels, from_edges
+
+from test_nlcc_device import _results_equal
+from test_pattern import write_tree_pattern
+
+
+def _reference_db(tmp_path, scale=10, shards=4):
+    src, dst = rmat_all_ranks(scale=scale, n_ranks=4, scramble=False)
+    g = from_edges(src, dst, num_vertices=1 << scale)
+    base = str(tmp_path / "mem_db")
+    storage.save(g, base, num_shards=shards, labels=degree_labels(g))
+    return g, base, (src, dst)
+
+
+def _assert_db_equal(base_a, base_b):
+    ga, la, _ = storage.load(base_a)
+    gb, lb, _ = storage.load(base_b)
+    assert ga.num_vertices == gb.num_vertices
+    assert np.array_equal(ga.row_ptr, gb.row_ptr)
+    assert np.array_equal(ga.cols, gb.cols)
+    assert np.array_equal(ga.rev_edge, gb.rev_edge)
+    assert np.array_equal(ga.raw_degree, gb.raw_degree)
+    assert np.array_equal(la, lb)
+
+
+def test_chunked_rmat_build_matches_in_memory(tmp_path):
+    _, mem_base, _ = _reference_db(tmp_path)
+    chunked = str(tmp_path / "chunked_db")
+    build_rmat_db(chunked, scale=10, n_ranks=4, num_shards=4, scramble=False)
+    _assert_db_equal(mem_base, chunked)
+
+
+def test_python_chunk_spill_matches_in_memory(tmp_path):
+    # the generic (ingest-path) builder from raw chunks, no native spill
+    g, mem_base, (src, dst) = _reference_db(tmp_path)
+    chunked = str(tmp_path / "chunks_db")
+
+    def chunks(n=7):
+        step = -(-len(src) // n)
+        for lo in range(0, len(src), step):
+            yield src[lo : lo + step], dst[lo : lo + step]
+
+    build_db_from_chunks(chunked, chunks(), 1 << 10, num_shards=4)
+    _assert_db_equal(mem_base, chunked)
+
+
+def test_graphdb_accessors_match_graph(tmp_path):
+    g, base, _ = _reference_db(tmp_path)
+    db = storage.open_db(base)
+    assert db.num_edges == g.num_edges
+    assert np.array_equal(db.row_ptr, g.row_ptr)
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        lo, hi = sorted(rng.randint(0, g.num_edges + 1, size=2))
+        assert np.array_equal(db.cols_range(lo, hi), g.cols_range(lo, hi))
+        assert np.array_equal(db.rev_range(lo, hi), g.rev_range(lo, hi))
+        assert np.array_equal(
+            db.edge_row_range(lo, hi), g.edge_row_range(lo, hi)
+        )
+    ids = rng.randint(0, g.num_edges, size=200)
+    assert np.array_equal(db.cols_at(ids), g.cols_at(ids))
+    assert np.array_equal(db.edge_row_at(ids), g.edge_row_at(ids))
+
+
+def test_search_over_lazy_db_matches_materialized(tmp_path):
+    from fuzzypatternmatching_tpu.pattern.nonlocal_constraint import (
+        load_nonlocal_constraints,
+    )
+    from fuzzypatternmatching_tpu.pattern.pattern_graph import (
+        load_pattern_graph,
+    )
+
+    g, base, _ = _reference_db(tmp_path)
+    db = storage.open_db(base)
+    prefix = write_tree_pattern(tmp_path)
+    pattern = load_pattern_graph(prefix)
+    constraints = load_nonlocal_constraints(prefix)
+    labels = degree_labels(g)
+    mat = MatchEngine(g, labels, pattern, constraints, nlcc_mode="host").run()
+    lazy = MatchEngine(
+        db, db.labels, pattern, constraints, lcc_engine="sharded",
+        nlcc_mode="device",
+    ).run()
+    _results_equal(mat, lazy)
+
+
+def test_graphdb_requires_sharded_engine(tmp_path):
+    _, base, _ = _reference_db(tmp_path)
+    db = storage.open_db(base)
+    from test_oracle import PATH_PATTERN
+
+    with pytest.raises(TypeError):
+        MatchEngine(db, db.labels, PATH_PATTERN, [], lcc_engine="bucketed")
