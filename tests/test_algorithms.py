@@ -111,3 +111,33 @@ def test_triangle_count_k4():
     )
     g = from_edges(src, dst, num_vertices=4)
     assert triangle_count(g) == 4
+
+
+def test_triangle_count_random_vs_bruteforce():
+    # the degree-oriented wedge-check (device membership) must equal a
+    # brute-force count, including with tiny wedge chunks
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        v = 40
+        pairs = set()
+        for _ in range(150):
+            a, b = rng.randint(0, v, 2)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        src = np.array([p[0] for p in pairs] + [p[1] for p in pairs])
+        dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs])
+        g = from_edges(src, dst, num_vertices=v)
+        adj = [set() for _ in range(v)]
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        brute = sum(
+            1
+            for a in range(v)
+            for b in adj[a]
+            if b > a
+            for c in adj[a] & adj[b]
+            if c > b
+        )
+        assert triangle_count(g, wedge_chunk=97) == brute
+        assert triangle_count(g) == brute
