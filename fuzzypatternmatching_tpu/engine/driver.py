@@ -132,8 +132,13 @@ class MatchEngine:
 
     def _lcc_phase(
         self, state, global_init: bool, itr: int, result: MatchResult,
-        allow_compact: bool = True,
+        allow_compact: bool = True, tp_mark_eids=None,
     ):
+        """One LCC call. ``tp_mark_eids`` (original CSR edge ids carrying
+        token-passing success marks) lets the compact continuation run even
+        across pending TP marks: the flags are translated into the pruned
+        subgraph's slot space instead of forcing diameter full-graph
+        supersteps (each with an S-element random gather)."""
         if self.superstep_timing:
             # one device call per superstep, each timed for real
             rows_t, dts = [], []
@@ -227,14 +232,34 @@ class MatchEngine:
                 pos = np.searchsorted(keys, union)
                 pos_c = np.minimum(pos, len(keys) - 1)
                 is_alive_edge = keys[pos_c] == union  # per union edge id
+                flag_ids = None
+                if tp_mark_eids:
+                    # TP success marks, translated into the subgraph's edge
+                    # ids. Marks on dead slots are no-ops in the full engine
+                    # (own_alive gates the flag), so only union hits carry.
+                    mk = self._edge_keys_cached()[
+                        np.asarray(tp_mark_eids, dtype=np.int64)
+                    ]
+                    mp = np.searchsorted(union, mk)
+                    mp_c = np.minimum(mp, len(union) - 1)
+                    flag_ids = mp_c[union[mp_c] == mk]
                 sub_state = sub.state_from_edge_ids(
-                    tv, np.nonzero(is_alive_edge)[0]
+                    tv, np.nonzero(is_alive_edge)[0], flag_ids=flag_ids
                 )
                 sub_state, r2, d2 = sub.lcc_call(
                     sub_state, False, n_steps=steps_left
                 )
                 rows_all += r2
                 died_any = died_any or d2
+                # a live vertex with no alive incident edge is outside the
+                # union closure: the sub engine never sees it, but the full
+                # engine would kill it in this call's first superstep and
+                # raise the died flag — account for it here
+                live_v = np.nonzero(tv)[0]
+                if len(live_v) and not np.isin(
+                    live_v, np.unique(u_row)
+                ).all():
+                    died_any = True
                 tv2 = sub.tv_host(sub_state)
                 a2r, a2c = sub.alive_pairs(sub_state)
                 state = self._state_from_pairs(tv2, a2r, a2c)
@@ -289,14 +314,14 @@ class MatchEngine:
         state = self.lcc.init_state()
         forwarded = ForwardedSets.empty()  # persists across constraints
         global_init = True
-        pending_marks = False  # TP success marks awaiting the next LCC call
+        pending_marks: list = []  # TP success marks awaiting the next LCC call
         itr = 0
         while True:
             state, not_finished = self._lcc_phase(
                 state, global_init, itr, result,
-                allow_compact=not pending_marks,
+                tp_mark_eids=pending_marks or None,
             )
-            pending_marks = False
+            pending_marks = []
             global_init = False
             if itr == 0:
                 not_finished = True  # forced token passing (beta.cpp:691-696)
@@ -410,11 +435,12 @@ class MatchEngine:
                             state = self.lcc.with_updates(state, tv, tp_marks)
                         else:
                             state = self.lcc.state_from_global(tv, alive, tp_flag)
-                        # tp success marks live in the full-engine slot
-                        # space; compaction would drop them
+                        # tp success marks are carried into the compact
+                        # subgraph's slot space (tp_mark_eids), so the
+                        # continuation stays on the pruned graph
                         state, died = self._lcc_phase(
                             state, False, itr, result,
-                            allow_compact=not tp_marks if fast else not tp_flag.any(),
+                            tp_mark_eids=tp_marks if fast else None,
                         )
                         if died:
                             not_finished = True
@@ -430,10 +456,10 @@ class MatchEngine:
                         acsr = None  # pruned adjacency changed
                 if fast:
                     state = self.lcc.with_updates(state, tv, tp_marks)
-                    pending_marks = bool(tp_marks)
+                    pending_marks = list(tp_marks)
                 else:
                     state = self.lcc.state_from_global(tv, alive, tp_flag)
-                    pending_marks = bool(tp_flag.any())
+                    pending_marks = []  # non-fast engines never compact
             itr += 1
             if not not_finished or itr >= max_iterations:
                 break

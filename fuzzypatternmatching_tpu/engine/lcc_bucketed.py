@@ -58,6 +58,9 @@ class BucketedState:
     tp_flag: jax.Array  # bool [S+1]
     # memo for alive_pairs (the driver asks several times per phase)
     pairs_cache: tuple | None = None
+    # host copy of tv when it was uploaded from the host (avoids an
+    # immediate V-sized download through the device tunnel)
+    tv_np: np.ndarray | None = None
 
 
 class BucketedLccEngine:
@@ -247,13 +250,42 @@ class BucketedLccEngine:
         msg_r = jnp.zeros(self.num_ranks, dtype=jnp.int32)
         died = jnp.bool_(False)
 
-        tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])
         use_pallas = self.use_pallas and not init
         if use_pallas:
             from ..ops.lcc_superstep import pack_alive
 
+            tv_pad = jnp.concatenate([tv, jnp.zeros(1, dtype=jnp.uint32)])
             tv_table = tv_pad.astype(jnp.uint16)
             alive_bits = pack_alive(alive)
+        elif not init:
+            # ONE random gather per slot instead of two. The superstep needs
+            # tv_pad[adj] (sender candidates) and alive[rev] (sender-side
+            # flag); but tv_pad[adj[s]] == tv[row(rev[s])], so a per-slot
+            # payload (alive << 31 | tv-of-owning-row), built with streaming
+            # segment broadcasts, makes payload[rev] deliver both. The two
+            # ~S-element random HBM gathers (the dominant superstep cost,
+            # docs/ROOFLINE.md) collapse into one.
+            parts = []
+            for bkt, (rows, adj, rev, valid, seg_id, seg_rows, _c) in zip(
+                self.buckets, bucket_arrays
+            ):
+                n, w = adj.shape
+                base = bkt.slot_base
+                tv_rows = tv[seg_rows][seg_id]  # [n] broadcast per row
+                own_alive = alive[base : base + n * w].reshape(n, w)
+                parts.append(
+                    (
+                        jnp.where(
+                            own_alive,
+                            jnp.uint32(0x80000000),
+                            jnp.uint32(0),
+                        )
+                        | tv_rows[:, None]
+                    ).reshape(-1)
+                )
+            payload_pad = jnp.concatenate(
+                parts + [jnp.zeros(1, dtype=jnp.uint32)]
+            )
 
         for bkt, (rows, adj, rev, valid, seg_id, seg_rows, adj_code) in zip(
             self.buckets, bucket_arrays
@@ -291,8 +323,9 @@ class BucketedLccEngine:
                 )
                 tn_rows = tn16.astype(jnp.uint32)
             else:
-                p_bits = tv_pad[adj]
-                send_ok = (p_bits != 0) & alive[rev]
+                p = payload_pad[rev]
+                p_bits = p & jnp.uint32(0x7FFFFFFF)
+                send_ok = (p_bits != 0) & (p >= jnp.uint32(0x80000000))
                 p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
             if not use_pallas:
@@ -436,6 +469,8 @@ class BucketedLccEngine:
     # -- slot-space fast path (avoids all E-sized host remaps) -------------
 
     def tv_host(self, state: BucketedState) -> np.ndarray:
+        if state.tv_np is not None:
+            return state.tv_np
         return np.asarray(state.tv)
 
     def alive_pairs(self, state: BucketedState):
@@ -458,15 +493,28 @@ class BucketedLccEngine:
         state.pairs_cache = (arow[order], acol[order])
         return state.pairs_cache
 
-    def state_from_edge_ids(self, tv: np.ndarray, edge_ids: np.ndarray) -> BucketedState:
-        """State whose alive set is exactly the given original edge ids."""
+    def state_from_edge_ids(
+        self, tv: np.ndarray, edge_ids: np.ndarray, flag_ids=None
+    ) -> BucketedState:
+        """State whose alive set is exactly the given original edge ids;
+        ``flag_ids`` optionally sets TP success marks on those edges (lets
+        the driver's compact continuation carry marks into the subgraph)."""
         al = np.zeros(self.num_slots + 1, dtype=bool)
         al[self._edge_to_slot[edge_ids]] = True
         al[-1] = False
+        if flag_ids is not None and len(flag_ids):
+            fl = np.zeros(self.num_slots + 1, dtype=bool)
+            fl[self._edge_to_slot[np.asarray(flag_ids, dtype=np.int64)]] = True
+            fl[-1] = False
+            tp_flag = self._unpack(jnp.asarray(np.packbits(fl)))
+        else:
+            tp_flag = jnp.zeros(self.num_slots + 1, dtype=bool)
+        tv32 = tv.astype(np.uint32)
         return BucketedState(
-            tv=jnp.asarray(tv.astype(np.uint32)),
+            tv=jnp.asarray(tv32),
             alive=self._unpack(jnp.asarray(np.packbits(al))),
-            tp_flag=jnp.zeros(self.num_slots + 1, dtype=bool),
+            tp_flag=tp_flag,
+            tv_np=tv32,
         )
 
     def with_updates(self, state: BucketedState, tv: np.ndarray, tp_marks):
@@ -477,10 +525,15 @@ class BucketedLccEngine:
                 [self._edge_to_slot[e] for e in tp_marks], dtype=np.int64
             )
             flag = flag.at[jnp.asarray(idx)].set(True)
+        tv32 = tv.astype(np.uint32)
         return BucketedState(
-            tv=jnp.asarray(tv.astype(np.uint32)),
+            tv=jnp.asarray(tv32),
             alive=state.alive,
             tp_flag=flag,
+            # alive is unchanged: the (possibly expensive) pairs transfer
+            # stays valid
+            pairs_cache=state.pairs_cache,
+            tv_np=tv32,
         )
 
     def lcc_call(

@@ -53,6 +53,9 @@ class ShardedState:
     tp_flag: jax.Array  # bool [n, EC]
     # memo for alive_pairs (the driver asks several times per phase)
     pairs_cache: tuple | None = None
+    # host copy of tv when it was uploaded from the host (avoids an
+    # immediate V-sized download through the device tunnel)
+    tv_np: np.ndarray | None = None
 
 
 class ShardedLccEngine:
@@ -479,6 +482,8 @@ class ShardedLccEngine:
     # and the pruned alive set across the host boundary.
 
     def tv_host(self, state: ShardedState) -> np.ndarray:
+        if state.tv_np is not None:
+            return state.tv_np
         return np.asarray(state.tv).reshape(-1)[: self.graph.num_vertices]
 
     def alive_pairs(self, state: ShardedState):
@@ -495,19 +500,21 @@ class ShardedLccEngine:
         return state.pairs_cache
 
     def state_from_edge_ids(
-        self, tv: np.ndarray, edge_ids: np.ndarray
+        self, tv: np.ndarray, edge_ids: np.ndarray, flag_ids=None
     ) -> ShardedState:
         al = np.zeros(self.n * self.ec, dtype=bool)
         al[edge_ids] = True  # chunk layout == flat CSR order
+        fl = np.zeros(self.n * self.ec, dtype=bool)
+        if flag_ids is not None and len(flag_ids):
+            fl[np.asarray(flag_ids, dtype=np.int64)] = True
         shard2 = NamedSharding(self.mesh, P("x", None))
         tv_p = np.zeros(self.vpad, dtype=np.uint32)
         tv_p[: self.graph.num_vertices] = tv
         return ShardedState(
             tv=jax.device_put(tv_p.reshape(self.n, self.block), shard2),
             edge_alive=jax.device_put(al.reshape(self.n, self.ec), shard2),
-            tp_flag=jax.device_put(
-                np.zeros((self.n, self.ec), dtype=bool), shard2
-            ),
+            tp_flag=jax.device_put(fl.reshape(self.n, self.ec), shard2),
+            tv_np=np.asarray(tv, dtype=np.uint32),
         )
 
     def with_updates(self, state: ShardedState, tv: np.ndarray, tp_marks):
@@ -525,6 +532,8 @@ class ShardedLccEngine:
             tv=jax.device_put(tv_p.reshape(self.n, self.block), shard2),
             edge_alive=state.edge_alive,
             tp_flag=flag,
+            pairs_cache=state.pairs_cache,  # alive unchanged
+            tv_np=np.asarray(tv, dtype=np.uint32),
         )
 
     def lcc_call(
