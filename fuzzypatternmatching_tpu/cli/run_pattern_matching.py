@@ -36,10 +36,14 @@ def main(argv=None):
     ap.add_argument("-b", "--backup", default=None,
                     help="restore the graph DB from this backup first")
     ap.add_argument("-e", "--edge-data", default=None,
-                    help="edge metadata file base (accepted for CLI parity; "
-                         "like the reference beta driver, matching does not "
-                         "constrain on edge metadata — beta.cpp:114-115 "
-                         "parses it unused)")
+                    help="activate edge-metadata-constrained matching: "
+                         "'db' uses the metadata stored in the graph DB "
+                         "(build_edge_metadata), anything else is an edge "
+                         "metadata file base (src dst data rows). Requires "
+                         "a pattern_edge_data file in the pattern dir and "
+                         "--lcc-engine flat. (The reference parses -e but "
+                         "never enforces it — beta.cpp:114-115, :575; "
+                         "enforcement is this framework's opt-in extension.)")
     ap.add_argument("-r", "--ranks", type=int, default=None,
                     help="output ranks (default: graph DB shard count)")
     ap.add_argument("-x", "--batch", type=int, default=1 << 16,
@@ -86,12 +90,45 @@ def main(argv=None):
             ap.error("--mmap requires --lcc-engine sharded")
         graph = storage.open_db(args.input)
         stored_labels = graph.labels
+        stored_edata = None
     else:
-        graph, stored_labels, _ = storage.load(args.input)
+        graph, stored_labels, stored_edata = storage.load(args.input)
     print(f"opened graph DB: V={graph.num_vertices} E={graph.num_edges}")
     labels = resolve_labels(graph, args.vertex_data, stored_labels)
     if args.vertex_data is None and stored_labels is None:
         print("using degree labels ceil(log2(d+1))")
+
+    edge_data = None
+    if args.edge_data:
+        if args.lcc_engine != "flat":
+            ap.error("-e/--edge-data requires --lcc-engine flat")
+        if args.edge_data == "db":
+            edge_data = stored_edata
+            if edge_data is None:
+                ap.error(
+                    f"-e db: {args.input} has no stored edge metadata "
+                    "(run cli.build_edge_metadata first)"
+                )
+        else:
+            import glob as _glob
+
+            from ..generators.edge_list import read_edge_lists
+
+            files = sorted(_glob.glob(args.edge_data + "*")) or [args.edge_data]
+            src, dst, data = read_edge_lists(files, undirected=False)
+            if data is None:
+                ap.error("edge metadata files need a third (data) column")
+            keys = graph.edge_row.astype(np.uint64) * np.uint64(
+                graph.num_vertices
+            ) + graph.cols.astype(np.uint64)
+            want = src.astype(np.uint64) * np.uint64(
+                graph.num_vertices
+            ) + dst.astype(np.uint64)
+            pos = np.minimum(np.searchsorted(keys, want), len(keys) - 1)
+            ok = keys[pos] == want
+            edge_data = np.zeros(graph.num_edges, dtype=np.int64)
+            edge_data[pos[ok]] = data[ok]
+            print(f"edge metadata: matched {int(ok.sum())}/{len(want)} entries")
 
     num_ranks = args.ranks
     if num_ranks is None:
@@ -134,11 +171,17 @@ def main(argv=None):
             f"pattern [{ps}]: K={pattern.vertex_count} "
             f"diameter={pattern.diameter} constraints={len(constraints)}"
         )
+        if edge_data is not None and pattern.edge_data is None:
+            print(
+                f"pattern [{ps}]: no pattern_edge_data file — edge-metadata "
+                "constraints inactive for this pattern"
+            )
         t0 = time.time()
         engine = MatchEngine(
             graph, labels, pattern, constraints, num_ranks=num_ranks,
             source_batch=args.batch, lcc_engine=args.lcc_engine, mesh=mesh,
             superstep_timing=args.superstep_timing, counting=args.counting,
+            edge_data=edge_data,
         )
         result = engine.run(max_iterations=args.max_iterations)
         print(

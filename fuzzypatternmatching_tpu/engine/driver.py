@@ -49,6 +49,7 @@ class MatchEngine:
         superstep_timing: bool = False,
         counting: bool = False,
         lcc_pallas: bool = False,
+        edge_data: np.ndarray | None = None,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
@@ -72,6 +73,22 @@ class MatchEngine:
         self.counting = counting
         if counting and lcc_engine != "flat":
             raise ValueError("counting mode requires lcc_engine='flat'")
+        # edge-metadata-constrained matching: active iff BOTH graph edge
+        # metadata (edge_data_db analog) and a pattern _edge_data file are
+        # present. Supported by the flat LCC engine + host NLCC (the
+        # reference stores but never enforces these values — beta.cpp:575;
+        # enforcement is this framework's opt-in extension).
+        self._meta = None
+        if edge_data is not None and pattern.edge_data is not None:
+            if lcc_engine != "flat":
+                raise ValueError(
+                    "edge-metadata matching requires lcc_engine='flat'"
+                )
+            vals, allow = pattern.edge_meta_tables()
+            ed = np.asarray(edge_data, dtype=np.int64)
+            pos = np.minimum(np.searchsorted(vals, ed), len(vals) - 1)
+            code = np.where(vals[pos] == ed, pos, len(vals)).astype(np.int64)
+            self._meta = (vals, allow, code)
         if lcc_engine == "sharded" or mesh is not None:
             from ..parallel.sharded import ShardedLccEngine
 
@@ -91,6 +108,9 @@ class MatchEngine:
                 self.lcc = LccEngine(
                     graph, self.labels, pattern, num_ranks=num_ranks,
                     counting=counting,
+                    edge_meta=None
+                    if self._meta is None
+                    else (self._meta[1], self._meta[2]),
                 )
         # NLCC accelerator engine: on a mesh the token walks run distributed
         # (parallel/nlcc_sharded.py: all_to_all routing + shard-local dedup);
@@ -283,6 +303,9 @@ class MatchEngine:
         amortize it; tiny tree-corpus frontiers stay on the host."""
         if self._dev_nlcc is None or self.nlcc_mode == "host":
             return False
+        if self._meta is not None:
+            # metadata hop filters run in the host engine only
+            return False
         if self.nlcc_mode == "device":
             return True
         sources = token_sources(c, self.labels, tv)
@@ -352,7 +375,20 @@ class MatchEngine:
                                 arow, acol, tv != 0, g.num_vertices
                             )
                         else:
-                            acsr = AliveCsr.build(g, alive, tv != 0)
+                            acsr = AliveCsr.build(
+                                g, alive, tv != 0,
+                                meta=None
+                                if self._meta is None
+                                else self._meta[2],
+                            )
+                    hopc = (
+                        np.searchsorted(
+                            self._meta[0],
+                            self.pattern.hop_edge_values(c.indices),
+                        )
+                        if self._meta is not None
+                        else None
+                    )
                     use_dev = self._nlcc_on_device(acsr, c, tv)
                     # driver-level forwarded-set clearing runs before EVERY
                     # constraint: non-selected runs wipe the sets, selected
@@ -370,7 +406,7 @@ class MatchEngine:
                                 acsr, self.labels, tv, c, g.num_vertices,
                                 source_batch=self.source_batch,
                                 num_ranks=self.num_ranks,
-                                forwarded=forwarded,
+                                forwarded=forwarded, hopc=hopc,
                             )
                         if out.subgraphs is not None and len(out.subgraphs):
                             result.subgraphs.setdefault(pl, []).extend(
@@ -388,6 +424,7 @@ class MatchEngine:
                             out = run_nem(
                                 acsr, self.labels, tv, c, g.num_vertices,
                                 num_ranks=self.num_ranks, forwarded=forwarded,
+                                hopc=hopc,
                             )
                     if bool(out.validated.any()):
                         result.pattern_found[pl] = True

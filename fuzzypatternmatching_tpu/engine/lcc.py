@@ -54,6 +54,7 @@ class LccEngine:
         pattern: PatternGraph,
         num_ranks: int = 1,
         counting: bool = False,
+        edge_meta: tuple[np.ndarray, np.ndarray] | None = None,
     ):
         self.graph = graph
         self.p = pattern
@@ -94,6 +95,20 @@ class LccEngine:
         else:
             self.required = None
             self.col_class = jnp.zeros(graph.num_edges, dtype=jnp.uint8)
+        # edge-metadata-constrained matching (opt-in; the reference stores
+        # edge metadata — edge_data_db.hpp — but never enforces it,
+        # beta.cpp:575): ``edge_meta`` = (allow [M+1, K] uint32 tables from
+        # PatternGraph.edge_meta_tables, per-slot metadata codes [E]).
+        # Messages then accumulate per receiver bit i only the parents
+        # deliverable through an edge whose metadata pattern edge (p, i)
+        # requires — an exact per-(pattern-edge, value) gate.
+        if edge_meta is not None:
+            allow, code = edge_meta
+            self.meta_allow = jnp.asarray(allow, dtype=jnp.uint32)
+            self.meta_code = jnp.asarray(code, dtype=jnp.int32)
+        else:
+            self.meta_allow = None
+            self.meta_code = jnp.zeros(graph.num_edges, dtype=jnp.int32)
         self._step = jax.jit(partial(self._superstep), static_argnames=("init",))
 
     # -- helpers -----------------------------------------------------------
@@ -124,15 +139,32 @@ class LccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
+    def _keep_mask_per_i(self, tn_list: list) -> jax.Array:
+        """Per-template-vertex acceptance with a SEPARATE tn per receiver
+        bit (metadata mode: tn_list[i] holds only parents deliverable toward
+        i through correctly-labeled edges)."""
+        keep = jnp.zeros_like(tn_list[0])
+        for i in range(self.k):
+            tn_i = tn_list[i]
+            ok = (self.mand[i] & ~tn_i) == 0
+            if self.opt_min[i] > 0:
+                t = self.opt[i] & tn_i
+                ok = ok & (t == self.opt[i]) & (
+                    jax.lax.population_count(t) >= jnp.uint32(self.opt_min[i])
+                )
+            keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
+        return keep
+
     # -- one superstep -----------------------------------------------------
 
     def _superstep(
         self, tv, edge_alive, tp_flag, col, erow, rev, rev_valid, owner,
-        col_class=None, *, init: bool,
+        col_class=None, meta_code=None, *, init: bool,
     ):
         # graph arrays arrive as jit ARGUMENTS: closing over them would
         # embed hundreds of MB of constants in the serialized HLO
         v = self.num_vertices
+        meta = self.meta_allow is not None
         p_bits = tv[col]  # sender candidate bitsets per inbox slot
         if init:
             send_ok = p_bits != 0
@@ -141,24 +173,58 @@ class LccEngine:
             send_ok = (p_bits != 0) & rev_alive
         p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
-        adj_mask = self._or_over_bits(tv)
-        accept = (p_bits & adj_mask[erow]) != 0
-        pa = jnp.where(accept, p_bits, jnp.uint32(0))
-
-        # segment-OR via bit planes: tn[v] = OR of accepted sender bitsets
-        planes = ((pa[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :]) & 1).astype(
-            jnp.uint8
-        )
-        tn_planes = jax.ops.segment_max(planes, erow, num_segments=v) > 0
         weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
-        tn = jnp.sum(tn_planes.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32)
 
-        in_map = tn != 0  # received at least one valid-parent message
-        new_tv = tv & self._keep_mask(tn)
+        def seg_or(bits):
+            """Segment-OR of uint32 bitsets over rows, via bit planes."""
+            planes = (
+                (bits[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :]) & 1
+            ).astype(jnp.uint8)
+            pl = jax.ops.segment_max(planes, erow, num_segments=v) > 0
+            return jnp.sum(pl.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32)
+
+        def allow_of(i):
+            """Per-slot allowed-parent mask toward receiver bit i, given
+            each slot's metadata code."""
+            return jnp.take(self.meta_allow[:, i], meta_code)
+
+        if meta:
+            # metadata mode: accept through per-slot allowed masks and
+            # accumulate tn per receiver bit (exact per-(p, i, value) gate)
+            tv_e = tv[erow]
+            mask = jnp.zeros_like(p_bits)
+            tn_list = []
+            for i in range(self.k):
+                allow_i = allow_of(i)
+                has = ((tv_e >> i) & 1) != 0
+                mask = mask | jnp.where(has, allow_i, jnp.uint32(0))
+                tn_list.append(seg_or(p_bits & allow_i))
+            accept = (p_bits & mask) != 0
+            pa = jnp.where(accept, p_bits, jnp.uint32(0))
+            in_map = (
+                jax.ops.segment_max(
+                    accept.astype(jnp.uint8), erow, num_segments=v
+                )
+                > 0
+            )
+            new_tv = tv & self._keep_mask_per_i(tn_list)
+        else:
+            adj_mask = self._or_over_bits(tv)
+            accept = (p_bits & adj_mask[erow]) != 0
+            pa = jnp.where(accept, p_bits, jnp.uint32(0))
+
+            # segment-OR via bit planes: tn[v] = OR of accepted sender bitsets
+            tn = seg_or(pa)
+
+            in_map = tn != 0  # received at least one valid-parent message
+            new_tv = tv & self._keep_mask(tn)
         if self.counting:
             keep_cnt = jnp.zeros(v, dtype=jnp.uint32)
             for i in range(self.k):
-                acc_i = (pa & self.adj_all[i]) != 0
+                if meta:
+                    acc_i = (p_bits & allow_of(i)) != 0
+                else:
+                    acc_i = (pa & self.adj_all[i]) != 0
                 ok_i = jnp.ones(v, dtype=bool)
                 for j in range(self.required.shape[1]):
                     req = int(self.required[i, j])
@@ -234,7 +300,8 @@ class LccEngine:
                 tv = self.label_tv  # all vertices start active (beta.cpp:491)
             tv, alive, flag, stats = self._step(
                 tv, alive, flag, self.col, self.erow, self.rev,
-                self.rev_valid, self.owner, self.col_class, init=init,
+                self.rev_valid, self.owner, self.col_class, self.meta_code,
+                init=init,
             )
             av_r, ae_r, msg_r, died = stats
             av_r = np.asarray(av_r)

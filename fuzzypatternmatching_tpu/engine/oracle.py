@@ -43,11 +43,31 @@ class MatchOracle:
         pattern: PatternGraph,
         constraints: list[NonLocalConstraint],
         counting: bool = False,
+        edge_data: np.ndarray | None = None,
     ):
         self.g = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
         self.p = pattern
         self.constraints = constraints
+        # edge-metadata-constrained matching (opt-in; the reference stores
+        # edge metadata — edge_data_db.hpp — but its shipped drivers never
+        # enforce it, beta.cpp:575): a data edge carrying metadata m can map
+        # onto pattern edge (p, q) only when the pattern requires m there.
+        # Active iff BOTH the graph metadata and a pattern _edge_data file
+        # are present. Direction convention: the receiver-side slot (v, u)
+        # is looked up; symmetrized streams carry the value both ways.
+        if edge_data is not None and pattern.edge_data is not None:
+            self._meta_vals, self._meta_allow = pattern.edge_meta_tables()
+            ed = np.asarray(edge_data, dtype=np.int64)
+            pos = np.searchsorted(self._meta_vals, ed)
+            pos_c = np.minimum(pos, len(self._meta_vals) - 1)
+            code = np.where(
+                self._meta_vals[pos_c] == ed, pos_c, len(self._meta_vals)
+            )
+            self._meta_code = code.astype(np.int64)  # per graph edge id
+        else:
+            self._meta_allow = None
+            self._meta_code = None
         # counting-LCC mode (label_propagation_pattern_matching_nonunique_
         # counting_ee.hpp): template vertex i additionally requires hearing
         # from >= required[i, j] distinct valid-parent neighbors of each
@@ -83,6 +103,25 @@ class MatchOracle:
             c >>= 1
             i += 1
         return m
+
+    def _edge_meta_row(self, v: int, u: int) -> np.ndarray:
+        """Per-template-vertex allowed-parent masks for the slot (v, u):
+        ``row[i]`` = parents deliverable toward receiver bit i through this
+        edge, given its metadata (all-zero row for values no pattern edge
+        requires)."""
+        lo, hi = int(self.g.row_ptr[v]), int(self.g.row_ptr[v + 1])
+        i = lo + int(np.searchsorted(self.g.cols[lo:hi], u))
+        return self._meta_allow[int(self._meta_code[i])]
+
+    def _hop_meta_ok(self, v: int, parent: int, wcode: int) -> bool:
+        """Token-passing hop check: the traversed data edge (parent -> v)
+        must carry the metadata value (as a code into ``_meta_vals``)
+        required by the pattern edge this hop maps onto. Graphs are
+        symmetrized with symmetric metadata (like the reference's streams),
+        so sender-side lookup equals the LCC's receiver-side convention."""
+        lo, hi = int(self.g.row_ptr[parent]), int(self.g.row_ptr[parent + 1])
+        i = lo + int(np.searchsorted(self.g.cols[lo:hi], v))
+        return int(self._meta_code[i]) == wcode
 
     def _constraint_ok(self, i: int, tn: int) -> bool:
         """APM per-template-vertex acceptance
@@ -131,15 +170,33 @@ class MatchOracle:
 
             # deliver: accumulate template_neighbors, mark active edges
             tn: dict[int, int] = {}
+            # metadata mode: per-receiver-bit accumulation — tn_meta[v][i]
+            # holds only parents deliverable toward bit i through an edge
+            # whose metadata the pattern edge (parent-bit, i) requires
+            tn_meta: dict[int, list[int]] = {}
             # counting mode: cnts[v][(i, j)] = distinct valid-parents-for-i
             # of label class j heard this superstep (counting_ee.hpp:784-790)
             cnts: dict[int, dict[tuple[int, int], int]] = {}
             for v, parent, bits in msgs:
                 if not self.active[v] or self.tv[v] == 0:
                     continue
-                if bits & self._accept_mask(int(self.tv[v])) == 0:
-                    continue  # no valid parent among sender's bits
-                tn[v] = tn.get(v, 0) | bits
+                if self._meta_allow is not None:
+                    row = self._edge_meta_row(v, parent)
+                    amask = 0
+                    tvv = int(self.tv[v])
+                    for i in range(self.p.vertex_count):
+                        if tvv >> i & 1:
+                            amask |= int(row[i])
+                    if bits & amask == 0:
+                        continue  # no valid parent through this edge
+                    tm = tn_meta.setdefault(v, [0] * self.p.vertex_count)
+                    for i in range(self.p.vertex_count):
+                        tm[i] |= bits & int(row[i])
+                else:
+                    row = self._adj_all
+                    if bits & self._accept_mask(int(self.tv[v])) == 0:
+                        continue  # no valid parent among sender's bits
+                    tn[v] = tn.get(v, 0) | bits
                 if self.counting:
                     j = int(
                         np.searchsorted(self._class_labels, self.labels[parent])
@@ -150,7 +207,7 @@ class MatchOracle:
                     ):
                         cv = cnts.setdefault(v, {})
                         for i in range(self.p.vertex_count):
-                            if bits & int(self._adj_all[i]):
+                            if bits & int(row[i]):
                                 cv[(i, j)] = cv.get((i, j), 0) + 1
                 if init:
                     self.alive[v][parent] = 1
@@ -160,10 +217,11 @@ class MatchOracle:
                 # tn but cannot resurrect the edge — nonunique_ee.hpp:790-814)
 
             # verify_and_update_vertex_state (nonunique_ee.hpp:829-1027)
+            meta = self._meta_allow is not None
             for v in range(self.g.num_vertices):
                 if not self.active[v] or self.tv[v] == 0:
                     continue
-                if v not in tn:
+                if v not in (tn_meta if meta else tn):
                     if init:
                         # valid label but heard no valid parent: not in map
                         self.active[v] = False
@@ -171,11 +229,15 @@ class MatchOracle:
                         self.alive[v].clear()
                         continue
                     tn_v = 0
+                    tm_v = [0] * self.p.vertex_count
                 else:
-                    tn_v = tn[v]
+                    tn_v = tn.get(v, 0)
+                    tm_v = tn_meta.get(v, [0] * self.p.vertex_count)
                 cand = int(self.tv[v])
                 for i in range(self.p.vertex_count):
-                    if cand >> i & 1 and not self._constraint_ok(i, tn_v):
+                    if cand >> i & 1 and not self._constraint_ok(
+                        i, tm_v[i] if meta else tn_v
+                    ):
                         cand &= ~(1 << i)
                     elif cand >> i & 1 and self.counting:
                         cv = cnts.get(v, {})
@@ -258,6 +320,14 @@ class MatchOracle:
         labels, indices = c.labels, c.indices
         subgraphs: list[tuple] = []
         messages = 0
+        # metadata mode: hop h (arrival at walk position h) traverses the
+        # pattern edge (indices[h-1], indices[h]); the data edge must carry
+        # that edge's required metadata value
+        hopc = None
+        if self._meta_allow is not None:
+            hopc = np.searchsorted(
+                self._meta_vals, self.p.hop_edge_values(indices)
+            )
 
         # position-0 send along alive edges (nem_1.hpp:479-525; TDS
         # tds_batch_1.hpp:424-520)
@@ -293,6 +363,10 @@ class MatchOracle:
                 if not self.active[v] or int(self.labels[v]) != lbl_h:
                     continue
                 if not (int(self.tv[v]) >> bit_h & 1):
+                    continue
+                if hopc is not None and not self._hop_meta_ok(
+                    v, parent, int(hopc[h - 1])
+                ):
                     continue
                 if not final:
                     if not c.is_tds:

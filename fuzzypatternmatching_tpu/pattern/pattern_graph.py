@@ -47,6 +47,14 @@ class PatternGraph:
     edges_bitset_optional: np.ndarray = field(default=None)
     edges_bitset_all: np.ndarray = field(default=None)
     min_optional_edge_count: np.ndarray = field(default=None)  # int64, -1 = none
+    # per directed pattern edge (aligned with ``cols``): the metadata value a
+    # data edge must carry to map onto this pattern edge. Parsed from
+    # ``pattern_edge_data`` (graph.hpp:209-222 reads ``src dst edge_id w``
+    # rows); None when the file is absent. The reference stores the values
+    # but its shipped drivers never enforce them (beta.cpp:575 passes
+    # edge_metadata commented out); enforcement here is the opt-in
+    # edge-metadata-constrained matching mode.
+    edge_data: np.ndarray = field(default=None)  # int64 [edge_count] | None
 
     def __post_init__(self):
         k = self.vertex_count
@@ -86,6 +94,43 @@ class PatternGraph:
                 j = int(np.searchsorted(class_labels, self.vertex_data[u]))
                 required[i, j] += 1
         return class_labels, required
+
+    def edge_meta_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """Edge-metadata acceptance tables for the constrained-matching mode.
+
+        Returns ``(vals [M] int64, allow [M+1, K] uint32)``: ``vals`` are the
+        distinct metadata values the pattern's edges require (sorted);
+        ``allow[c][i]`` is the bitmask of template vertices p adjacent to i
+        via a pattern edge requiring ``vals[c]`` — a data edge carrying
+        metadata m can deliver a parent-p message toward receiver bit i only
+        when ``(1 << p) & allow[code(m)][i]`` is set. Row M (metadata values
+        no pattern edge requires) is all-zero."""
+        if self.edge_data is None:
+            raise ValueError("pattern has no edge metadata (no _edge_data file)")
+        vals = np.unique(self.edge_data)
+        allow = np.zeros((len(vals) + 1, self.vertex_count), dtype=np.uint32)
+        for i in range(self.vertex_count):
+            for e in range(self.row_ptr[i], self.row_ptr[i + 1]):
+                c = int(np.searchsorted(vals, self.edge_data[e]))
+                allow[c, i] |= np.uint32(1 << int(self.cols[e]))
+        return vals, allow
+
+    def hop_edge_values(self, indices: np.ndarray) -> np.ndarray:
+        """Required metadata per walk hop: entry h is the value of the
+        pattern edge (indices[h], indices[h+1]) — the edge a token traverses
+        between walk positions h and h+1. Raises if a hop is not a pattern
+        edge (a malformed constraint)."""
+        out = np.zeros(len(indices) - 1, dtype=np.int64)
+        for h in range(len(indices) - 1):
+            p, q = int(indices[h]), int(indices[h + 1])
+            row = slice(self.row_ptr[p], self.row_ptr[p + 1])
+            hit = np.nonzero(self.cols[row] == q)[0]
+            if len(hit) == 0:
+                raise ValueError(
+                    f"constraint hop ({p},{q}) is not a pattern edge"
+                )
+            out[h] = self.edge_data[self.row_ptr[p] + hit[0]]
+        return out
 
     def label_match_bitset(self, labels: np.ndarray) -> np.ndarray:
         """uint16 candidate bitset per graph vertex: bit i set iff
@@ -127,10 +172,21 @@ def load_pattern_graph(pattern_prefix: str) -> PatternGraph:
     if vertex_count > MAX_TEMPLATE_VERTICES:
         raise ValueError(f"template has {vertex_count} vertices; max is 16")
 
+    # edge metadata file: ``src dst edge_id w`` rows aligned with the
+    # pattern_edge listing (graph.hpp:209-222)
+    edata = None
+    ed_path = pattern_prefix + "_edge_data"
+    if os.path.exists(ed_path):
+        ed_rows = _read_tokens(ed_path)
+        if len(ed_rows) == len(edge_rows):
+            edata = np.array([int(r[3]) for r in ed_rows], dtype=np.int64)
+
     # CSR in file order (the reference reads edges as-listed, sorted by src;
     # graph.hpp:224-260 generates the vertex list assuming that order)
     order = np.argsort(srcs, kind="stable")
     srcs, dsts, mand = srcs[order], dsts[order], mand[order]
+    if edata is not None:
+        edata = edata[order]
     row_ptr = np.zeros(vertex_count + 1, dtype=np.int64)
     np.add.at(row_ptr, srcs + 1, 1)
     row_ptr = np.cumsum(row_ptr)
@@ -177,4 +233,5 @@ def load_pattern_graph(pattern_prefix: str) -> PatternGraph:
         edges_bitset_optional=ebo,
         edges_bitset_all=eb | ebo,
         min_optional_edge_count=min_opt,
+        edge_data=edata,
     )
