@@ -238,16 +238,18 @@ class MatchEngine:
                     int(np.bitwise_xor.reduce(union[:: max(1, len(union) // 64)])),
                 )
                 if self._sub_cache is not None and self._sub_cache[0] == fp:
-                    sub = self._sub_cache[1]
+                    sub, sub_cpu = self._sub_cache[1], self._sub_cache[2]
                 else:
-                    gsub = from_edges(
-                        u_row, u_col, num_vertices=self.graph.num_vertices
-                    )
-                    sub = BucketedLccEngine(
-                        gsub, self.labels, self.pattern,
-                        num_ranks=self.num_ranks,
-                    )
-                    self._sub_cache = (fp, sub)
+                    sub_cpu = len(union) <= self.SUB_CPU_MAX_EDGES
+                    with self._sub_device_ctx(sub_cpu):
+                        gsub = from_edges(
+                            u_row, u_col, num_vertices=self.graph.num_vertices
+                        )
+                        sub = BucketedLccEngine(
+                            gsub, self.labels, self.pattern,
+                            num_ranks=self.num_ranks,
+                        )
+                    self._sub_cache = (fp, sub, sub_cpu)
                 # per-slot aliveness = membership in the original alive set
                 pos = np.searchsorted(keys, union)
                 pos_c = np.minimum(pos, len(keys) - 1)
@@ -263,12 +265,13 @@ class MatchEngine:
                     mp = np.searchsorted(union, mk)
                     mp_c = np.minimum(mp, len(union) - 1)
                     flag_ids = mp_c[union[mp_c] == mk]
-                sub_state = sub.state_from_edge_ids(
-                    tv, np.nonzero(is_alive_edge)[0], flag_ids=flag_ids
-                )
-                sub_state, r2, d2 = sub.lcc_call(
-                    sub_state, False, n_steps=steps_left
-                )
+                with self._sub_device_ctx(sub_cpu):
+                    sub_state = sub.state_from_edge_ids(
+                        tv, np.nonzero(is_alive_edge)[0], flag_ids=flag_ids
+                    )
+                    sub_state, r2, d2 = sub.lcc_call(
+                        sub_state, False, n_steps=steps_left
+                    )
                 rows_all += r2
                 died_any = died_any or d2
                 # a live vertex with no alive incident edge is outside the
@@ -280,8 +283,9 @@ class MatchEngine:
                     live_v, np.unique(u_row)
                 ).all():
                     died_any = True
-                tv2 = sub.tv_host(sub_state)
-                a2r, a2c = sub.alive_pairs(sub_state)
+                with self._sub_device_ctx(sub_cpu):
+                    tv2 = sub.tv_host(sub_state)
+                    a2r, a2c = sub.alive_pairs(sub_state)
                 state = self._state_from_pairs(tv2, a2r, a2c)
         dt = (time.perf_counter() - t0) / max(len(rows_all), 1)
         self._emit_lp_rows_fresh(rows_all, dt, itr, result)
@@ -322,12 +326,36 @@ class MatchEngine:
         return self._edge_keys
 
     def _state_from_pairs(self, tv, arow, acol):
-        """Full-engine state with the alive set given as (row, col) pairs."""
+        """Full-engine state with the alive set given as (row, col) pairs —
+        LAZY for the bucketed engine: once compact, the per-iteration state
+        is pure host data and no device upload happens at all."""
         edge_keys = self._edge_keys_cached()
         keys = arow.astype(np.uint64) * np.uint64(self.graph.num_vertices) + acol.astype(np.uint64)
         pos = np.searchsorted(edge_keys, keys)
         eids = pos[edge_keys[np.minimum(pos, len(edge_keys) - 1)] == keys]
+        if isinstance(self.lcc, BucketedLccEngine):
+            return self.lcc.state_from_edge_ids(tv, eids, lazy=True)
         return self.lcc.state_from_edge_ids(tv, eids)
+
+    # compact subgraphs below this many (symmetric-closure) edges run their
+    # supersteps on the LOCAL CPU backend: a tiny jit program's wall time is
+    # all dispatch, and on a remote-attached TPU each dispatch is a ~0.5-1 s
+    # tunnel round trip (docs/ROOFLINE.md) — the host does the same work in
+    # microseconds
+    SUB_CPU_MAX_EDGES = 1 << 22
+
+    @staticmethod
+    def _sub_device_ctx(use_cpu: bool):
+        import contextlib
+
+        if not use_cpu:
+            return contextlib.nullcontext()
+        import jax
+
+        try:
+            return jax.default_device(jax.devices("cpu")[0])
+        except Exception:
+            return contextlib.nullcontext()
 
     def run(self, max_iterations: int = 100) -> MatchResult:
         t_start = time.perf_counter()

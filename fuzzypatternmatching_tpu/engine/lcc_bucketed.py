@@ -61,6 +61,14 @@ class BucketedState:
     # host copy of tv when it was uploaded from the host (avoids an
     # immediate V-sized download through the device tunnel)
     tv_np: np.ndarray | None = None
+    # LAZY representation: once the search lives on the compact pruned
+    # subgraph, the full-engine state is only read back on the host
+    # (tv_host / alive_pairs / state_to_global); holding it as original
+    # edge ids avoids every per-iteration device upload. Device arrays
+    # (tv/alive/tp_flag above are None then) materialize only if a full
+    # lcc_call actually runs.
+    lazy_edge_ids: np.ndarray | None = None  # sorted original edge ids
+    lazy_flag_ids: np.ndarray | None = None  # TP-marked original edge ids
 
 
 class BucketedLccEngine:
@@ -460,6 +468,10 @@ class BucketedLccEngine:
         )
 
     def state_to_global(self, state: BucketedState):
+        if state.alive is None:
+            edge_alive = np.zeros(self.graph.num_edges, dtype=bool)
+            edge_alive[state.lazy_edge_ids] = True
+            return state.tv_np.copy(), edge_alive
         tv = np.asarray(state.tv)
         packed = np.asarray(self._pack(state.alive))
         al_flat = np.unpackbits(packed, count=self.num_slots + 1).view(bool)
@@ -478,6 +490,15 @@ class BucketedLccEngine:
         each row — typically a tiny fraction of E after the first call."""
         if state.pairs_cache is not None:
             return state.pairs_cache
+        if state.alive is None:
+            # lazy state: edge ids ARE the pairs (ascending ids == CSR
+            # row-major order) — zero device traffic
+            eids = state.lazy_edge_ids
+            state.pairs_cache = (
+                self.graph.edge_row[eids].astype(np.int64),
+                self.graph.cols[eids].astype(np.int64),
+            )
+            return state.pairs_cache
         packed = np.asarray(self._pack(state.alive))
         flat = np.unpackbits(packed, count=self.num_slots + 1).view(bool)
         rows_parts, cols_parts = [], []
@@ -494,13 +515,26 @@ class BucketedLccEngine:
         return state.pairs_cache
 
     def state_from_edge_ids(
-        self, tv: np.ndarray, edge_ids: np.ndarray, flag_ids=None
+        self, tv: np.ndarray, edge_ids: np.ndarray, flag_ids=None,
+        lazy: bool = False,
     ) -> BucketedState:
         """State whose alive set is exactly the given original edge ids;
         ``flag_ids`` optionally sets TP success marks on those edges (lets
-        the driver's compact continuation carry marks into the subgraph)."""
+        the driver's compact continuation carry marks into the subgraph).
+        ``lazy=True`` keeps the state host-side (see BucketedState): no
+        device upload happens unless a full lcc_call consumes it."""
+        eids = np.sort(np.asarray(edge_ids, dtype=np.int64))
+        tv32 = tv.astype(np.uint32)
+        if lazy:
+            return BucketedState(
+                tv=None, alive=None, tp_flag=None, tv_np=tv32,
+                lazy_edge_ids=eids,
+                lazy_flag_ids=None
+                if flag_ids is None
+                else np.asarray(flag_ids, dtype=np.int64),
+            )
         al = np.zeros(self.num_slots + 1, dtype=bool)
-        al[self._edge_to_slot[edge_ids]] = True
+        al[self._edge_to_slot[eids]] = True
         al[-1] = False
         if flag_ids is not None and len(flag_ids):
             fl = np.zeros(self.num_slots + 1, dtype=bool)
@@ -509,7 +543,6 @@ class BucketedLccEngine:
             tp_flag = self._unpack(jnp.asarray(np.packbits(fl)))
         else:
             tp_flag = jnp.zeros(self.num_slots + 1, dtype=bool)
-        tv32 = tv.astype(np.uint32)
         return BucketedState(
             tv=jnp.asarray(tv32),
             alive=self._unpack(jnp.asarray(np.packbits(al))),
@@ -517,15 +550,41 @@ class BucketedLccEngine:
             tv_np=tv32,
         )
 
+    def _materialize(self, state: BucketedState) -> BucketedState:
+        """Device arrays for a lazy state (no-op otherwise)."""
+        if state.alive is not None:
+            return state
+        s = self.state_from_edge_ids(
+            state.tv_np, state.lazy_edge_ids, flag_ids=state.lazy_flag_ids
+        )
+        s.pairs_cache = state.pairs_cache
+        return s
+
     def with_updates(self, state: BucketedState, tv: np.ndarray, tp_marks):
         """Replace tv and set token-passing success marks (slot flags)."""
+        tv32 = tv.astype(np.uint32)
+        if state.alive is None:
+            prev = (
+                state.lazy_flag_ids
+                if state.lazy_flag_ids is not None
+                else np.empty(0, dtype=np.int64)
+            )
+            return BucketedState(
+                tv=None, alive=None, tp_flag=None, tv_np=tv32,
+                pairs_cache=state.pairs_cache,
+                lazy_edge_ids=state.lazy_edge_ids,
+                lazy_flag_ids=np.union1d(
+                    prev, np.asarray(list(tp_marks), dtype=np.int64)
+                )
+                if tp_marks
+                else prev,
+            )
         flag = state.tp_flag
         if tp_marks:
             idx = np.array(
                 [self._edge_to_slot[e] for e in tp_marks], dtype=np.int64
             )
             flag = flag.at[jnp.asarray(idx)].set(True)
-        tv32 = tv.astype(np.uint32)
         return BucketedState(
             tv=jnp.asarray(tv32),
             alive=state.alive,
@@ -542,6 +601,7 @@ class BucketedLccEngine:
     ):
         if n_steps is None:
             n_steps = self.p.diameter
+        state = self._materialize(state)
         call = self._get_call(global_init_step, n_steps)
         consts = {
             "owner": self.owner,
