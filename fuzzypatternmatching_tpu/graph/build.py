@@ -35,6 +35,7 @@ import numpy as np
 
 from . import storage
 from .csr import Graph  # noqa: F401  (re-exported for callers)
+from ..utils.log_step import LogStep
 
 
 def _degree_labels_from(deg: np.ndarray) -> np.ndarray:
@@ -179,22 +180,25 @@ def build_db_from_chunks(
     spill_dir = tempfile.mkdtemp(dir=base, prefix=".spill_")
     keydir = tempfile.mkdtemp(dir=base, prefix=".keys_")
     try:
-        deg = _spill_python(
-            spill_dir, chunk_iter, num_shards, block, num_vertices
-        )
+        with LogStep("spill edge stream by owner shard (pass A)"):
+            deg = _spill_python(
+                spill_dir, chunk_iter, num_shards, block, num_vertices
+            )
         if labels is None and with_degree_labels:
             labels = _degree_labels_from(deg)
-        counts = _dedupe_and_write(
-            base, spill_dir, num_shards, num_vertices, block, deg, labels,
-            keydir,
-        )
+        with LogStep("per-shard dedupe + CSR slices (pass B1)"):
+            counts = _dedupe_and_write(
+                base, spill_dir, num_shards, num_vertices, block, deg, labels,
+                keydir,
+            )
         shutil.rmtree(spill_dir)
         spill_dir = None
         edge_starts = np.zeros(num_shards, dtype=np.int64)
         np.cumsum(counts[:-1], out=edge_starts[1:])
-        _reverse_pass(
-            base, num_shards, num_vertices, block, edge_starts, keydir
-        )
+        with LogStep("reverse-edge index (pass B2)"):
+            _reverse_pass(
+                base, num_shards, num_vertices, block, edge_starts, keydir
+            )
         storage.write_meta(
             base, num_shards, num_vertices, int(np.sum(counts)),
             list(edge_starts), labels is not None, False, clean_close=True,
@@ -240,23 +244,26 @@ def build_rmat_db(
     spill_dir = tempfile.mkdtemp(dir=base, prefix=".spill_")
     keydir = tempfile.mkdtemp(dir=base, prefix=".keys_")
     try:
-        deg = native.rmat_spill_shards_native(
-            spill_dir, scale, n_ranks, num_shards, block,
-            edges_per_vertex=edges_per_vertex, scramble=scramble,
-            undirected=undirected, base_seed=base_seed,
-        )
+        with LogStep("R-MAT stream spill by owner shard (native, pass A)"):
+            deg = native.rmat_spill_shards_native(
+                spill_dir, scale, n_ranks, num_shards, block,
+                edges_per_vertex=edges_per_vertex, scramble=scramble,
+                undirected=undirected, base_seed=base_seed,
+            )
         labels = _degree_labels_from(deg) if with_degree_labels else None
-        counts = _dedupe_and_write(
-            base, spill_dir, num_shards, num_vertices, block, deg, labels,
-            keydir,
-        )
+        with LogStep("per-shard dedupe + CSR slices (pass B1)"):
+            counts = _dedupe_and_write(
+                base, spill_dir, num_shards, num_vertices, block, deg, labels,
+                keydir,
+            )
         shutil.rmtree(spill_dir)
         spill_dir = None
         edge_starts = np.zeros(num_shards, dtype=np.int64)
         np.cumsum(counts[:-1], out=edge_starts[1:])
-        _reverse_pass(
-            base, num_shards, num_vertices, block, edge_starts, keydir
-        )
+        with LogStep("reverse-edge index (pass B2)"):
+            _reverse_pass(
+                base, num_shards, num_vertices, block, edge_starts, keydir
+            )
         storage.write_meta(
             base, num_shards, num_vertices, int(np.sum(counts)),
             list(edge_starts), labels is not None, False, clean_close=True,

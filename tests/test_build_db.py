@@ -105,3 +105,26 @@ def test_graphdb_requires_sharded_engine(tmp_path):
 
     with pytest.raises(TypeError):
         MatchEngine(db, db.labels, PATH_PATTERN, [], lcc_engine="bucketed")
+
+
+def test_log_step_traces_build_phases(tmp_path, capsys):
+    """Construction-phase tracing (impl/log_step.hpp analog): each chunked
+    build phase prints a Starting/Finished bracket with wall seconds and
+    RSS/IO/dirty-page figures."""
+    from fuzzypatternmatching_tpu.graph.build import build_rmat_db
+
+    build_rmat_db(str(tmp_path / "db"), scale=8, n_ranks=2, num_shards=2,
+                  scramble=False)
+    out = capsys.readouterr().out
+    assert out.count("Starting:") >= 3
+    assert out.count("Finished:") >= 3
+    assert "pass B2" in out and "RSS:" in out
+
+
+def test_log_step_disabled_by_env(tmp_path, capsys, monkeypatch):
+    from fuzzypatternmatching_tpu.graph.build import build_rmat_db
+
+    monkeypatch.setenv("FPM_LOG_STEPS", "0")
+    build_rmat_db(str(tmp_path / "db"), scale=8, n_ranks=2, num_shards=2,
+                  scramble=False)
+    assert "Starting:" not in capsys.readouterr().out
