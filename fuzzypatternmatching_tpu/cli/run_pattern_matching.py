@@ -40,8 +40,8 @@ def main(argv=None):
                          "'db' uses the metadata stored in the graph DB "
                          "(build_edge_metadata), anything else is an edge "
                          "metadata file base (src dst data rows). Requires "
-                         "a pattern_edge_data file in the pattern dir and "
-                         "--lcc-engine flat. (The reference parses -e but "
+                         "a pattern_edge_data file in the pattern dir; "
+                         "lcc engine flat or bucketed. (The reference parses -e but "
                          "never enforces it — beta.cpp:114-115, :575; "
                          "enforcement is this framework's opt-in extension.)")
     ap.add_argument("-r", "--ranks", type=int, default=None,
@@ -100,8 +100,8 @@ def main(argv=None):
 
     edge_data = None
     if args.edge_data:
-        if args.lcc_engine != "flat":
-            ap.error("-e/--edge-data requires --lcc-engine flat")
+        if args.lcc_engine not in ("flat", "bucketed"):
+            ap.error("-e/--edge-data requires --lcc-engine flat or bucketed")
         if args.edge_data == "db":
             edge_data = stored_edata
             if edge_data is None:

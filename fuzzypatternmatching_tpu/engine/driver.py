@@ -75,14 +75,15 @@ class MatchEngine:
             raise ValueError("counting mode requires lcc_engine='flat'")
         # edge-metadata-constrained matching: active iff BOTH graph edge
         # metadata (edge_data_db analog) and a pattern _edge_data file are
-        # present. Supported by the flat LCC engine + host NLCC (the
-        # reference stores but never enforces these values — beta.cpp:575;
-        # enforcement is this framework's opt-in extension).
+        # present. Supported by the flat and bucketed LCC engines + host
+        # NLCC (the reference stores but never enforces these values —
+        # beta.cpp:575; enforcement is this framework's opt-in extension).
         self._meta = None
         if edge_data is not None and pattern.edge_data is not None:
-            if lcc_engine != "flat":
+            if lcc_engine not in ("flat", "bucketed"):
                 raise ValueError(
-                    "edge-metadata matching requires lcc_engine='flat'"
+                    "edge-metadata matching requires lcc_engine='flat' "
+                    "or 'bucketed'"
                 )
             vals, allow = pattern.edge_meta_tables()
             ed = np.asarray(edge_data, dtype=np.int64)
@@ -103,6 +104,9 @@ class MatchEngine:
                 self.lcc = BucketedLccEngine(
                     graph, self.labels, pattern, num_ranks=num_ranks,
                     use_pallas=lcc_pallas,
+                    edge_meta=None
+                    if self._meta is None
+                    else (self._meta[1], self._meta[2]),
                 )
             else:
                 self.lcc = LccEngine(
@@ -241,13 +245,23 @@ class MatchEngine:
                     sub, sub_cpu = self._sub_cache[1], self._sub_cache[2]
                 else:
                     sub_cpu = len(union) <= self.SUB_CPU_MAX_EDGES
+                    sub_meta = None
+                    if self._meta is not None:
+                        # metadata codes for the subgraph's edges: union is
+                        # in CSR key order, so from_edges preserves it —
+                        # sub edge e corresponds to union[e]
+                        ek = self._edge_keys_cached()
+                        sub_meta = (
+                            self._meta[1],
+                            self._meta[2][np.searchsorted(ek, union)],
+                        )
                     with self._sub_device_ctx(sub_cpu):
                         gsub = from_edges(
                             u_row, u_col, num_vertices=self.graph.num_vertices
                         )
                         sub = BucketedLccEngine(
                             gsub, self.labels, self.pattern,
-                            num_ranks=self.num_ranks,
+                            num_ranks=self.num_ranks, edge_meta=sub_meta,
                         )
                     self._sub_cache = (fp, sub, sub_cpu)
                 # per-slot aliveness = membership in the original alive set
@@ -399,8 +413,18 @@ class MatchEngine:
                     t0 = time.perf_counter()
                     if acsr is None:
                         if fast:
+                            pair_meta = None
+                            if self._meta is not None:
+                                ek = self._edge_keys_cached()
+                                keys = arow.astype(np.uint64) * np.uint64(
+                                    g.num_vertices
+                                ) + acol.astype(np.uint64)
+                                pair_meta = self._meta[2][
+                                    np.searchsorted(ek, keys)
+                                ]
                             acsr = AliveCsr.from_pairs(
-                                arow, acol, tv != 0, g.num_vertices
+                                arow, acol, tv != 0, g.num_vertices,
+                                meta=pair_meta,
                             )
                         else:
                             acsr = AliveCsr.build(

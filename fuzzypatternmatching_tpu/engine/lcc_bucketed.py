@@ -69,6 +69,9 @@ class BucketedState:
     # lcc_call actually runs.
     lazy_edge_ids: np.ndarray | None = None  # sorted original edge ids
     lazy_flag_ids: np.ndarray | None = None  # TP-marked original edge ids
+    # bit-packed alive, produced INSIDE the lcc_call program: alive_pairs
+    # then only downloads (no extra pack dispatch through the tunnel)
+    packed: jax.Array | None = None
 
 
 class BucketedLccEngine:
@@ -84,6 +87,7 @@ class BucketedLccEngine:
         max_width: int = 8192,
         use_pallas: bool = False,
         pallas_interpret: bool = False,
+        edge_meta: tuple[np.ndarray, np.ndarray] | None = None,
     ):
         self.graph = graph
         self.p = pattern
@@ -211,6 +215,34 @@ class BucketedLccEngine:
             )
             for b, code in zip(self.buckets, self._adj_codes)
         ]
+        # edge-metadata-constrained matching (see LccEngine): ``edge_meta``
+        # = (allow [M+1, K] uint32 tables, per-original-edge codes [E]).
+        # Slot codes live in the ELL layout (padding -> the all-zero row M);
+        # the superstep then accumulates tn per receiver bit through
+        # per-slot allowed-parent masks.
+        if edge_meta is not None:
+            if use_pallas:
+                raise ValueError(
+                    "edge-metadata matching is not supported with the "
+                    "Pallas superstep"
+                )
+            allow, ecode = edge_meta
+            ecode = np.asarray(ecode, dtype=np.int64)
+            mzero = allow.shape[0] - 1  # the all-zero allow row
+            self.meta_allow = jnp.asarray(allow, dtype=jnp.uint32)
+            self._meta_dev = [
+                jnp.asarray(
+                    np.where(
+                        b.edge_ids >= 0,
+                        ecode[np.maximum(b.edge_ids, 0)],
+                        mzero,
+                    ).astype(np.int32)
+                )
+                for b in self.buckets
+            ]
+        else:
+            self.meta_allow = None
+            self._meta_dev = None
         self._call_cache = {}
         # bit-packed transfers: the flat alive array is ~S bytes as bool;
         # packing on device cuts the host<->device tunnel traffic 8x
@@ -233,6 +265,20 @@ class BucketedLccEngine:
             ok = (self.mand[i] & ~tn) == 0
             if self.opt_min[i] > 0:
                 t = self.opt[i] & tn
+                ok = ok & (t == self.opt[i]) & (
+                    jax.lax.population_count(t) >= jnp.uint32(self.opt_min[i])
+                )
+            keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
+        return keep
+
+    def _keep_mask_per_i(self, tn_list):
+        """Acceptance with a SEPARATE tn per receiver bit (metadata mode)."""
+        keep = jnp.zeros_like(tn_list[0])
+        for i in range(self.k):
+            tn_i = tn_list[i]
+            ok = (self.mand[i] & ~tn_i) == 0
+            if self.opt_min[i] > 0:
+                t = self.opt[i] & tn_i
                 ok = ok & (t == self.opt[i]) & (
                     jax.lax.population_count(t) >= jnp.uint32(self.opt_min[i])
                 )
@@ -295,8 +341,9 @@ class BucketedLccEngine:
                 parts + [jnp.zeros(1, dtype=jnp.uint32)]
             )
 
-        for bkt, (rows, adj, rev, valid, seg_id, seg_rows, adj_code) in zip(
-            self.buckets, bucket_arrays
+        metas = consts.get("meta")
+        for bi, (bkt, (rows, adj, rev, valid, seg_id, seg_rows, adj_code)) in (
+            enumerate(zip(self.buckets, bucket_arrays))
         ):
             n, w = adj.shape
             n_seg = len(bkt.seg_rows)
@@ -336,19 +383,55 @@ class BucketedLccEngine:
                 send_ok = (p_bits != 0) & (p >= jnp.uint32(0x80000000))
                 p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
 
-            if not use_pallas:
-                accept = (p_bits & adj_mask_seg[seg_id][:, None]) != 0
-                pa = jnp.where(accept, p_bits, jnp.uint32(0))
-                tn_rows = jax.lax.reduce(
-                    pa, np.uint32(0), jax.lax.bitwise_or, dimensions=[1]
-                )
-            if split:
-                tn = self._segment_or(tn_rows, seg_id, n_seg)
+            if self.meta_allow is not None:
+                # metadata mode: per-slot allowed-parent masks (the slot's
+                # static edge-metadata code selects the allow row) and a
+                # SEPARATE tn per receiver bit — exact per (p, i, value)
+                mc = metas[bi]  # [n, w] int32 codes
+                mask = jnp.zeros((n, w), dtype=jnp.uint32)
+                tn_list = []
+                for i in range(self.k):
+                    allow_i = jnp.take(self.meta_allow[:, i], mc)  # [n, w]
+                    has_i = (((tv_seg >> i) & 1) != 0)[seg_id]  # [n]
+                    mask = mask | jnp.where(
+                        has_i[:, None], allow_i, jnp.uint32(0)
+                    )
+                    tn_i_rows = jax.lax.reduce(
+                        p_bits & allow_i, np.uint32(0), jax.lax.bitwise_or,
+                        dimensions=[1],
+                    )
+                    tn_list.append(
+                        self._segment_or(tn_i_rows, seg_id, n_seg)
+                        if split
+                        else tn_i_rows
+                    )
+                accept = (p_bits & mask) != 0
+                row_any = jnp.any(accept, axis=1)
+                if split:
+                    in_map = (
+                        jax.ops.segment_max(
+                            row_any.astype(jnp.uint8), seg_id,
+                            num_segments=n_seg,
+                        )
+                        > 0
+                    )
+                else:
+                    in_map = row_any
+                new_tv_seg = tv_seg & self._keep_mask_per_i(tn_list)
             else:
-                tn = tn_rows
+                if not use_pallas:
+                    accept = (p_bits & adj_mask_seg[seg_id][:, None]) != 0
+                    pa = jnp.where(accept, p_bits, jnp.uint32(0))
+                    tn_rows = jax.lax.reduce(
+                        pa, np.uint32(0), jax.lax.bitwise_or, dimensions=[1]
+                    )
+                if split:
+                    tn = self._segment_or(tn_rows, seg_id, n_seg)
+                else:
+                    tn = tn_rows
 
-            in_map = tn != 0
-            new_tv_seg = tv_seg & self._keep_mask(tn)
+                in_map = tn != 0
+                new_tv_seg = tv_seg & self._keep_mask(tn)
             if init:
                 new_tv_seg = jnp.where(in_map, new_tv_seg, jnp.uint32(0))
                 died_b = in_map & (new_tv_seg == 0)
@@ -445,7 +528,9 @@ class BucketedLccEngine:
             )
         else:
             st_scan = None
-        return tv, alive, flag, stats_list, st_scan
+        # pack the final alive bitmap in-program: the caller's alive_pairs
+        # becomes a pure download instead of a second dispatch round trip
+        return tv, alive, flag, jnp.packbits(alive), stats_list, st_scan
 
     def init_state(self) -> BucketedState:
         return BucketedState(
@@ -473,7 +558,9 @@ class BucketedLccEngine:
             edge_alive[state.lazy_edge_ids] = True
             return state.tv_np.copy(), edge_alive
         tv = np.asarray(state.tv)
-        packed = np.asarray(self._pack(state.alive))
+        packed = np.asarray(
+            state.packed if state.packed is not None else self._pack(state.alive)
+        )
         al_flat = np.unpackbits(packed, count=self.num_slots + 1).view(bool)
         edge_alive = al_flat[self._edge_to_slot]
         return tv, edge_alive
@@ -499,7 +586,9 @@ class BucketedLccEngine:
                 self.graph.cols[eids].astype(np.int64),
             )
             return state.pairs_cache
-        packed = np.asarray(self._pack(state.alive))
+        packed = np.asarray(
+            state.packed if state.packed is not None else self._pack(state.alive)
+        )
         flat = np.unpackbits(packed, count=self.num_slots + 1).view(bool)
         rows_parts, cols_parts = [], []
         for b in self.buckets:
@@ -590,9 +679,10 @@ class BucketedLccEngine:
             alive=state.alive,
             tp_flag=flag,
             # alive is unchanged: the (possibly expensive) pairs transfer
-            # stays valid
+            # and the in-program packed bitmap stay valid
             pairs_cache=state.pairs_cache,
             tv_np=tv32,
+            packed=state.packed,
         )
 
     def lcc_call(
@@ -608,7 +698,9 @@ class BucketedLccEngine:
             "inv_perm": self._inv_perm,
             "label_tv": self.label_tv,
         }
-        tv, alive, flag, head, st_scan = call(
+        if self._meta_dev is not None:
+            consts["meta"] = self._meta_dev
+        tv, alive, flag, packed, head, st_scan = call(
             state.tv, state.alive, state.tp_flag, self._dev, consts
         )
         rows = []
@@ -635,4 +727,4 @@ class BucketedLccEngine:
             av_s, ae_s, msg_s, died_s = (np.asarray(x) for x in st_scan)
             for i in range(av_s.shape[0]):
                 emit(av_s[i], ae_s[i], msg_s[i], died_s[i])
-        return BucketedState(tv, alive, flag), rows, any_died
+        return BucketedState(tv, alive, flag, packed=packed), rows, any_died

@@ -56,24 +56,26 @@ def graph_meta(g, val_of, default=0):
 
 
 def assert_meta_equivalent(g, labels, pattern, constraints, edge_data):
-    """Oracle and flat-engine runs with metadata must agree exactly."""
+    """Oracle, flat-engine, and bucketed-engine runs with metadata must all
+    agree exactly (trace rows, messages, sets, found flags, subgraphs)."""
     o = MatchOracle(g, labels, pattern, constraints, edge_data=edge_data).run()
-    e = MatchEngine(
-        g, labels, pattern, constraints, lcc_engine="flat",
-        edge_data=edge_data,
-    ).run()
     o_rows = [(r.itr, r.phase, r.step, r.active_vertices, r.active_edges,
                r.messages) for r in o.rows]
-    e_rows = [(r.itr, r.phase, r.step, r.active_vertices, r.active_edges,
-               r.messages) for r in e.rows]
-    assert o_rows == e_rows
-    assert o.pattern_found == e.pattern_found
-    assert o.iterations == e.iterations
-    assert o.active_vertices == e.active_vertices
-    assert o.active_edges == e.active_edges
     o_subs = {k: sorted(v) for k, v in o.subgraphs.items()}
-    e_subs = {k: sorted(v) for k, v in e.subgraphs.items()}
-    assert o_subs == e_subs
+    for eng in ("flat", "bucketed"):
+        e = MatchEngine(
+            g, labels, pattern, constraints, lcc_engine=eng,
+            edge_data=edge_data,
+        ).run()
+        e_rows = [(r.itr, r.phase, r.step, r.active_vertices, r.active_edges,
+                   r.messages) for r in e.rows]
+        assert o_rows == e_rows, eng
+        assert o.pattern_found == e.pattern_found, eng
+        assert o.iterations == e.iterations, eng
+        assert o.active_vertices == e.active_vertices, eng
+        assert o.active_edges == e.active_edges, eng
+        e_subs = {k: sorted(v) for k, v in e.subgraphs.items()}
+        assert o_subs == e_subs, eng
     return e
 
 
@@ -280,3 +282,102 @@ def test_cli_edge_metadata(tmp_path):
     ).run()
     assert eng.active_edges == ora.active_edges
     assert eng.active_vertices == ora.active_vertices
+
+
+# ------------------------------------------------- lazy bucketed state
+
+
+def test_lazy_bucketed_state_roundtrip():
+    """Lazy host-side BucketedState: tv_host/alive_pairs/state_to_global
+    answer from host data, with_updates keeps it lazy, and a full lcc_call
+    materializes it to the same result as the eager construction."""
+    from fuzzypatternmatching_tpu.engine.lcc_bucketed import BucketedLccEngine
+
+    src, dst = undirected([(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)])
+    g = from_edges(src, dst, num_vertices=4)
+    labels = np.array([1, 2, 1, 2], dtype=np.uint64)
+    pat = make_pattern([(0, 1), (1, 0)], [1, 2], diameter=2)
+    eng = BucketedLccEngine(g, labels, pat)
+
+    eids = np.arange(g.num_edges, dtype=np.int64)[::2]  # every other edge
+    tv = pat.label_match_bitset(labels).astype(np.uint32)
+    lazy = eng.state_from_edge_ids(tv, eids, lazy=True)
+    eager = eng.state_from_edge_ids(tv, eids)
+
+    assert lazy.alive is None
+    assert (eng.tv_host(lazy) == eng.tv_host(eager)).all()
+    lr, lc = eng.alive_pairs(lazy)
+    er, ec = eng.alive_pairs(eager)
+    assert (lr == er).all() and (lc == ec).all()
+    tvg_l, alive_l = eng.state_to_global(lazy)
+    tvg_e, alive_e = eng.state_to_global(eager)
+    assert (tvg_l == tvg_e).all() and (alive_l == alive_e).all()
+
+    # with_updates stays lazy and accumulates marks
+    tv2 = tv.copy()
+    tv2[3] = 0
+    lazy2 = eng.with_updates(lazy, tv2, [int(eids[0])])
+    assert lazy2.alive is None
+    assert int(eids[0]) in lazy2.lazy_flag_ids.tolist()
+
+    # a full call materializes: identical supersteps from both forms
+    eager2 = eng.with_updates(eager, tv2, [int(eids[0])])
+    sl, rl, dl = eng.lcc_call(lazy2, False, n_steps=2)
+    se, re, de = eng.lcc_call(eager2, False, n_steps=2)
+    assert rl == re and dl == de
+    assert (np.asarray(sl.tv) == np.asarray(se.tv)).all()
+    pl_ = eng.alive_pairs(sl)
+    pe_ = eng.alive_pairs(se)
+    assert (pl_[0] == pe_[0]).all() and (pl_[1] == pe_[1]).all()
+    # the call's state carries the in-program packed bitmap
+    assert sl.packed is not None
+
+
+def test_bucketed_compact_path_with_metadata(tmp_path):
+    """R-MAT s11 + the tree corpus (whose pattern_edge_data is uniform 55):
+    pruning leaves alive << E/4, so the bucketed engine's compact
+    continuation runs WITH translated metadata codes. Uniform-55 graph
+    metadata must reproduce the no-metadata result; poisoning one edge of
+    an enumerated walk changes it — and every engine tracks the oracle."""
+    from fuzzypatternmatching_tpu.generators.rmat import (
+        RmatParams,
+        generate_edges,
+    )
+    from fuzzypatternmatching_tpu.graph.csr import degree_labels
+    from fuzzypatternmatching_tpu.pattern.nonlocal_constraint import (
+        load_nonlocal_constraints,
+    )
+
+    parts = [
+        generate_edges(
+            RmatParams(seed=5489 + 3 * r, vertex_scale=11,
+                       edge_count=(16 << 11) // 4, scramble=False)
+        )
+        for r in range(4)
+    ]
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    g = from_edges(src, dst, num_vertices=1 << 11)
+    labels = degree_labels(g)
+    prefix = "/root/reference/examples/rmat_log2_tree_pattern/0/pattern"
+    pat = load_pattern_graph(prefix)
+    cons = load_nonlocal_constraints(prefix)
+
+    ed55 = np.full(g.num_edges, 55, dtype=np.int64)
+    r55 = assert_meta_equivalent(g, labels, pat, cons, ed55)
+    plain = MatchEngine(g, labels, pat, cons).run()
+    assert r55.active_vertices == plain.active_vertices
+    assert {k: sorted(v) for k, v in r55.subgraphs.items()} == {
+        k: sorted(v) for k, v in plain.subgraphs.items()
+    }
+
+    walks = [w for v in r55.subgraphs.values() for w in v]
+    if walks:  # poison the first hop of one enumerated walk
+        a, b = int(walks[0][0]), int(walks[0][1])
+        ed_p = ed55.copy()
+        for e in range(g.num_edges):
+            if {int(g.edge_row[e]), int(g.cols[e])} == {a, b}:
+                ed_p[e] = 99
+        r_p = assert_meta_equivalent(g, labels, pat, cons, ed_p)
+        n_p = sum(len(v) for v in r_p.subgraphs.values())
+        assert n_p < len(walks)
