@@ -118,17 +118,46 @@ def main(argv=None):
             src, dst, data = read_edge_lists(files, undirected=False)
             if data is None:
                 ap.error("edge metadata files need a third (data) column")
-            keys = graph.edge_row.astype(np.uint64) * np.uint64(
-                graph.num_vertices
-            ) + graph.cols.astype(np.uint64)
-            want = src.astype(np.uint64) * np.uint64(
-                graph.num_vertices
-            ) + dst.astype(np.uint64)
-            pos = np.minimum(np.searchsorted(keys, want), len(keys) - 1)
-            ok = keys[pos] == want
+            # symmetrize: each (src, dst, data) row applies to BOTH CSR
+            # directions (graphs are symmetrized; a file listing each
+            # undirected edge once must not leave the reverse direction at
+            # the default, which the enforcement would kill asymmetrically).
+            # Conflicting values for the same direction are an input error.
+            vv = np.uint64(graph.num_vertices)
+            src2 = np.concatenate([src, dst]).astype(np.uint64)
+            dst2 = np.concatenate([dst, src]).astype(np.uint64)
+            data2 = np.concatenate([data, data])
+            want = src2 * vv + dst2
+            order = np.argsort(want, kind="stable")
+            w_s, d_s = want[order], data2[order]
+            dup = w_s[1:] == w_s[:-1]
+            if np.any(dup & (d_s[1:] != d_s[:-1])):
+                bad = np.nonzero(dup & (d_s[1:] != d_s[:-1]))[0][0]
+                u, v = int(w_s[bad] // vv), int(w_s[bad] % vv)
+                ap.error(
+                    f"conflicting edge metadata for ({u}, {v}): "
+                    f"{int(d_s[bad])} vs {int(d_s[bad + 1])}"
+                )
+            first = np.concatenate([[True], ~dup])
+            w_s, d_s = w_s[first], d_s[first]
+            keys = graph.edge_row.astype(np.uint64) * vv + graph.cols.astype(
+                np.uint64
+            )
+            pos = np.minimum(np.searchsorted(w_s, keys), len(w_s) - 1)
+            ok = w_s[pos] == keys
             edge_data = np.zeros(graph.num_edges, dtype=np.int64)
-            edge_data[pos[ok]] = data[ok]
-            print(f"edge metadata: matched {int(ok.sum())}/{len(want)} entries")
+            edge_data[ok] = d_s[pos[ok]]
+            matched = int(ok.sum())
+            print(
+                f"edge metadata: matched {matched}/{graph.num_edges} "
+                "CSR directions"
+            )
+            if matched < graph.num_edges:
+                print(
+                    f"WARNING: {graph.num_edges - matched} graph edges have "
+                    "no metadata row and default to value 0 — they will "
+                    "match only pattern edges requiring 0"
+                )
 
     num_ranks = args.ranks
     if num_ranks is None:

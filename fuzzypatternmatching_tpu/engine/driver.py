@@ -80,10 +80,12 @@ class MatchEngine:
         # beta.cpp:575; enforcement is this framework's opt-in extension).
         self._meta = None
         if edge_data is not None and pattern.edge_data is not None:
-            if lcc_engine not in ("flat", "bucketed"):
+            # key the check on the engine actually constructed below: a
+            # mesh routes to ShardedLccEngine regardless of lcc_engine
+            if lcc_engine not in ("flat", "bucketed") or mesh is not None:
                 raise ValueError(
                     "edge-metadata matching requires lcc_engine='flat' "
-                    "or 'bucketed'"
+                    "or 'bucketed' (without a mesh)"
                 )
             vals, allow = pattern.edge_meta_tables()
             ed = np.asarray(edge_data, dtype=np.int64)
@@ -550,7 +552,23 @@ class MatchEngine:
                     state = self.lcc.state_from_global(tv, alive, tp_flag)
                     pending_marks = []  # non-fast engines never compact
             itr += 1
-            if not not_finished or itr >= max_iterations:
+            if not not_finished:
+                break
+            if itr >= max_iterations:
+                # the reference loops to fixpoint unconditionally
+                # (beta.cpp:1351); a truncated search is NOT a fixpoint and
+                # its result is not comparable — fail loudly, never silently
+                import warnings
+
+                result.truncated = True
+                warnings.warn(
+                    f"search truncated at max_iterations={max_iterations} "
+                    "before reaching the LCC/NLCC fixpoint; the returned "
+                    "active sets are an over-approximation "
+                    "(MatchResult.truncated=True)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 break
 
         result.iterations = itr

@@ -33,6 +33,10 @@ class MatchResult:
     active_edges: set = field(default_factory=set)  # (v, nbr) pairs
     total_seconds: float = 0.0
     traversed_edges: int = 0  # total messages/token hops across all phases
+    # True iff the driver stopped at max_iterations before the fixpoint
+    # (the reference loops unconditionally, beta.cpp:1351) — the active
+    # sets are then an over-approximation, and a RuntimeWarning was issued
+    truncated: bool = False
 
     def lp_trace(self) -> list[tuple[int, int, int]]:
         return [

@@ -514,7 +514,9 @@ class ShardedLccEngine:
             tv=jax.device_put(tv_p.reshape(self.n, self.block), shard2),
             edge_alive=jax.device_put(al.reshape(self.n, self.ec), shard2),
             tp_flag=jax.device_put(fl.reshape(self.n, self.ec), shard2),
-            tv_np=np.asarray(tv, dtype=np.uint32),
+            # astype always copies: the state's host mirror must not alias
+            # the caller's array (the driver mutates tv in place)
+            tv_np=tv.astype(np.uint32),
         )
 
     def with_updates(self, state: ShardedState, tv: np.ndarray, tp_marks):
@@ -533,7 +535,7 @@ class ShardedLccEngine:
             edge_alive=state.edge_alive,
             tp_flag=flag,
             pairs_cache=state.pairs_cache,  # alive unchanged
-            tv_np=np.asarray(tv, dtype=np.uint32),
+            tv_np=tv.astype(np.uint32),  # astype always copies (no aliasing)
         )
 
     def lcc_call(

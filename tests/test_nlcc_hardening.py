@@ -133,3 +133,36 @@ def test_filtered_frontier_cap_still_guards(monkeypatch):
         run_nem(
             acsr, labels, tv, c, 48, forwarded=ForwardedSets.empty()
         )
+
+
+def test_max_iterations_truncation_is_loud():
+    """A search stopped at max_iterations before the fixpoint must set
+    MatchResult.truncated and emit a RuntimeWarning (the reference loops
+    unconditionally, beta.cpp:1351 — truncation is this framework's
+    memory-bound escape hatch and must never be silent)."""
+    import warnings
+
+    from fuzzypatternmatching_tpu.engine.driver import MatchEngine
+    from fuzzypatternmatching_tpu.graph.csr import from_edges
+
+    from test_oracle import TRI_PATTERN, undirected
+
+    # hexagon with labels 1,2,3,1,2,3: LCC-stable (every vertex sees both
+    # other classes) but triangle-free, so the cycle constraint invalidates
+    # its sources at itr 0 and the fixpoint needs a second iteration
+    src, dst = undirected(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)]
+    )
+    g = from_edges(src, dst, num_vertices=6)
+    labels = np.array([1, 2, 3, 1, 2, 3], dtype=np.uint64)
+    from test_oracle import cycle_constraint as _cyc
+
+    full = MatchEngine(g, labels, TRI_PATTERN, [_cyc()]).run()
+    assert full.iterations >= 2 and not full.truncated
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = MatchEngine(g, labels, TRI_PATTERN, [_cyc()]).run(
+            max_iterations=1
+        )
+    assert r.truncated
+    assert any("truncated" in str(x.message) for x in w)
