@@ -41,7 +41,7 @@ def main(argv=None):
                          "(build_edge_metadata), anything else is an edge "
                          "metadata file base (src dst data rows). Requires "
                          "a pattern_edge_data file in the pattern dir; "
-                         "lcc engine flat or bucketed. (The reference parses -e but "
+                         "works with every --lcc-engine. (The reference parses -e but "
                          "never enforces it — beta.cpp:114-115, :575; "
                          "enforcement is this framework's opt-in extension.)")
     ap.add_argument("-r", "--ranks", type=int, default=None,
@@ -58,7 +58,7 @@ def main(argv=None):
                     help="counting-LCC: require per-neighbor-label-class "
                          "count thresholds from the template "
                          "(label_propagation_pattern_matching_nonunique_"
-                         "counting_ee.hpp); implies --lcc-engine flat")
+                         "counting_ee.hpp); works with every --lcc-engine")
     ap.add_argument("--mmap", action="store_true",
                     help="per-shard open (db_open analog): edge arrays stay "
                          "memmapped, no global CSR on this host; requires "
@@ -79,8 +79,6 @@ def main(argv=None):
 
     enable_persistent_cache()
     init_distributed(args)
-    if args.counting:
-        args.lcc_engine = "flat"
     mesh = build_mesh() if args.lcc_engine == "sharded" else None
 
     if args.backup:
@@ -100,8 +98,6 @@ def main(argv=None):
 
     edge_data = None
     if args.edge_data:
-        if args.lcc_engine not in ("flat", "bucketed"):
-            ap.error("-e/--edge-data requires --lcc-engine flat or bucketed")
         if args.edge_data == "db":
             edge_data = stored_edata
             if edge_data is None:

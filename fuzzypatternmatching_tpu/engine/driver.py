@@ -69,33 +69,29 @@ class MatchEngine:
         # init+scan call (one host round trip) and divides the call total.
         self.superstep_timing = superstep_timing
         # counting-LCC (neighbor-label count thresholds,
-        # counting_ee.hpp): supported by the flat engine + oracle
+        # counting_ee.hpp): supported by every LCC engine + the oracle
         self.counting = counting
-        if counting and lcc_engine != "flat":
-            raise ValueError("counting mode requires lcc_engine='flat'")
         # edge-metadata-constrained matching: active iff BOTH graph edge
         # metadata (edge_data_db analog) and a pattern _edge_data file are
-        # present. Supported by the flat and bucketed LCC engines + host
-        # NLCC (the reference stores but never enforces these values —
-        # beta.cpp:575; enforcement is this framework's opt-in extension).
+        # present. Supported by every LCC engine (flat, bucketed, sharded)
+        # and the host + mesh NLCC (the reference stores but never enforces
+        # these values — beta.cpp:575; enforcement is this framework's
+        # opt-in extension).
         self._meta = None
         if edge_data is not None and pattern.edge_data is not None:
-            # key the check on the engine actually constructed below: a
-            # mesh routes to ShardedLccEngine regardless of lcc_engine
-            if lcc_engine not in ("flat", "bucketed") or mesh is not None:
-                raise ValueError(
-                    "edge-metadata matching requires lcc_engine='flat' "
-                    "or 'bucketed' (without a mesh)"
-                )
             vals, allow = pattern.edge_meta_tables()
             ed = np.asarray(edge_data, dtype=np.int64)
             pos = np.minimum(np.searchsorted(vals, ed), len(vals) - 1)
             code = np.where(vals[pos] == ed, pos, len(vals)).astype(np.int64)
             self._meta = (vals, allow, code)
+        em = None if self._meta is None else (self._meta[1], self._meta[2])
         if lcc_engine == "sharded" or mesh is not None:
             from ..parallel.sharded import ShardedLccEngine
 
-            self.lcc = ShardedLccEngine(graph, self.labels, pattern, mesh=mesh)
+            self.lcc = ShardedLccEngine(
+                graph, self.labels, pattern, mesh=mesh, num_ranks=num_ranks,
+                edge_meta=em, counting=counting,
+            )
         else:
             if not isinstance(graph, Graph):
                 raise TypeError(
@@ -105,18 +101,12 @@ class MatchEngine:
             if lcc_engine == "bucketed":
                 self.lcc = BucketedLccEngine(
                     graph, self.labels, pattern, num_ranks=num_ranks,
-                    use_pallas=lcc_pallas,
-                    edge_meta=None
-                    if self._meta is None
-                    else (self._meta[1], self._meta[2]),
+                    use_pallas=lcc_pallas, edge_meta=em, counting=counting,
                 )
             else:
                 self.lcc = LccEngine(
                     graph, self.labels, pattern, num_ranks=num_ranks,
-                    counting=counting,
-                    edge_meta=None
-                    if self._meta is None
-                    else (self._meta[1], self._meta[2]),
+                    counting=counting, edge_meta=em,
                 )
         # NLCC accelerator engine: on a mesh the token walks run distributed
         # (parallel/nlcc_sharded.py: all_to_all routing + shard-local dedup);
@@ -264,6 +254,7 @@ class MatchEngine:
                         sub = BucketedLccEngine(
                             gsub, self.labels, self.pattern,
                             num_ranks=self.num_ranks, edge_meta=sub_meta,
+                            counting=self.counting,
                         )
                     self._sub_cache = (fp, sub, sub_cpu)
                 # per-slot aliveness = membership in the original alive set
@@ -323,8 +314,9 @@ class MatchEngine:
         amortize it; tiny tree-corpus frontiers stay on the host."""
         if self._dev_nlcc is None or self.nlcc_mode == "host":
             return False
-        if self._meta is not None:
-            # metadata hop filters run in the host engine only
+        if self._meta is not None and not hasattr(self._dev_nlcc, "mesh"):
+            # metadata hop filters run in the host engine or on the mesh
+            # (ShardedNlcc); the single-chip DeviceNlcc has no meta path
             return False
         if self.nlcc_mode == "device":
             return True
@@ -417,13 +409,20 @@ class MatchEngine:
                         if fast:
                             pair_meta = None
                             if self._meta is not None:
-                                ek = self._edge_keys_cached()
-                                keys = arow.astype(np.uint64) * np.uint64(
-                                    g.num_vertices
-                                ) + acol.astype(np.uint64)
-                                pair_meta = self._meta[2][
-                                    np.searchsorted(ek, keys)
-                                ]
+                                if hasattr(self.lcc, "alive_edge_ids"):
+                                    # sharded engine: flat edge ids are the
+                                    # pair order (works for mmap GraphDb too)
+                                    pair_meta = self._meta[2][
+                                        self.lcc.alive_edge_ids(state)
+                                    ]
+                                else:
+                                    ek = self._edge_keys_cached()
+                                    keys = arow.astype(np.uint64) * np.uint64(
+                                        g.num_vertices
+                                    ) + acol.astype(np.uint64)
+                                    pair_meta = self._meta[2][
+                                        np.searchsorted(ek, keys)
+                                    ]
                             acsr = AliveCsr.from_pairs(
                                 arow, acol, tv != 0, g.num_vertices,
                                 meta=pair_meta,
@@ -453,7 +452,7 @@ class MatchEngine:
                         if use_dev:
                             out = self._dev_nlcc.run_tds(
                                 acsr, self.labels, tv, c, g.num_vertices,
-                                forwarded=forwarded,
+                                forwarded=forwarded, hopc=hopc,
                             )
                         else:
                             out = run_tds(
@@ -472,7 +471,7 @@ class MatchEngine:
                         if use_dev:
                             out = self._dev_nlcc.run_nem(
                                 acsr, self.labels, tv, c, g.num_vertices,
-                                forwarded=forwarded,
+                                forwarded=forwarded, hopc=hopc,
                             )
                         else:
                             out = run_nem(

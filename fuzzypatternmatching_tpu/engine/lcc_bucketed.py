@@ -88,6 +88,7 @@ class BucketedLccEngine:
         use_pallas: bool = False,
         pallas_interpret: bool = False,
         edge_meta: tuple[np.ndarray, np.ndarray] | None = None,
+        counting: bool = False,
     ):
         self.graph = graph
         self.p = pattern
@@ -243,6 +244,26 @@ class BucketedLccEngine:
         else:
             self.meta_allow = None
             self._meta_dev = None
+        # counting-LCC mode (see LccEngine: nonunique_counting_ee.hpp,
+        # counting_ee.hpp:784-790): candidate i additionally requires >=
+        # required[i, j] distinct valid-parent neighbors of label class j.
+        # Per-bucket sender-class codes ride the ELL layout (padding -> 0);
+        # counts are row sums, split hubs combine partials by segment_sum.
+        self.counting = counting
+        if counting:
+            if use_pallas:
+                raise ValueError(
+                    "counting mode is not supported with the Pallas superstep"
+                )
+            class_labels, self.required = pattern.neighbor_label_counts()
+            lab = np.asarray(labels)
+            class_pad = np.zeros(v + 1, dtype=np.uint8)
+            for j, cl in enumerate(class_labels):
+                class_pad[:v][lab == cl] = j + 1
+            self._class_dev = [jnp.asarray(class_pad[b.adj]) for b in self.buckets]
+        else:
+            self.required = None
+            self._class_dev = None
         self._call_cache = {}
         # bit-packed transfers: the flat alive array is ~S bytes as bool;
         # packing on device cuts the host<->device tunnel traffic 8x
@@ -432,6 +453,36 @@ class BucketedLccEngine:
 
                 in_map = tn != 0
                 new_tv_seg = tv_seg & self._keep_mask(tn)
+            if self.counting:
+                # per-(template-vertex, label-class) count thresholds
+                # (counting_ee.hpp:784-790): row sums of accepted valid-
+                # parent slots by sender class; split hubs sum partials
+                cls = consts["cls"][bi]
+                keep_cnt = jnp.zeros(n_seg, dtype=jnp.uint32)
+                for i in range(self.k):
+                    if self.meta_allow is not None:
+                        acc_i = (
+                            p_bits & jnp.take(self.meta_allow[:, i], metas[bi])
+                        ) != 0
+                    else:
+                        acc_i = (pa & self.adj_all[i]) != 0
+                    ok_i = jnp.ones(n_seg, dtype=bool)
+                    for j in range(self.required.shape[1]):
+                        req = int(self.required[i, j])
+                        if req <= 0:
+                            continue
+                        cnt = jnp.sum(
+                            (acc_i & (cls == j + 1)).astype(jnp.int32), axis=1
+                        )
+                        if split:
+                            cnt = jax.ops.segment_sum(
+                                cnt, seg_id, num_segments=n_seg
+                            )
+                        ok_i = ok_i & (cnt >= req)
+                    keep_cnt = keep_cnt | jnp.where(
+                        ok_i, jnp.uint32(1 << i), jnp.uint32(0)
+                    )
+                new_tv_seg = new_tv_seg & keep_cnt
             if init:
                 new_tv_seg = jnp.where(in_map, new_tv_seg, jnp.uint32(0))
                 died_b = in_map & (new_tv_seg == 0)
@@ -700,6 +751,8 @@ class BucketedLccEngine:
         }
         if self._meta_dev is not None:
             consts["meta"] = self._meta_dev
+        if self._class_dev is not None:
+            consts["cls"] = self._class_dev
         tv, alive, flag, packed, head, st_scan = call(
             state.tv, state.alive, state.tp_flag, self._dev, consts
         )

@@ -320,8 +320,13 @@ class DeviceNlcc:
         c: NonLocalConstraint,
         num_vertices: int,
         forwarded: ForwardedSets | None = None,
+        hopc: np.ndarray | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
+        if hopc is not None:
+            raise NotImplementedError(
+                "metadata hop filters run in the host or mesh NLCC engines"
+            )
         if forwarded is None:
             forwarded = ForwardedSets.empty()
         sources = token_sources(c, labels, tv)
@@ -389,8 +394,13 @@ class DeviceNlcc:
         num_vertices: int,
         collect_subgraphs: bool = True,
         forwarded: ForwardedSets | None = None,
+        hopc: np.ndarray | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
+        if hopc is not None:
+            raise NotImplementedError(
+                "metadata hop filters run in the host or mesh NLCC engines"
+            )
         sources = token_sources(c, labels, tv)
         starts, targets = tds_start_pairs(c, sources, forwarded, self.V)
         ptr, col, apad = self.prepare(acsr)

@@ -102,6 +102,15 @@ def write_results(
             av = per.get("av")
             ae = per.get("ae")
             msg = per.get("msg")
+            if num_ranks > 1 and (av is None or ae is None or msg is None):
+                # refuse to fabricate attribution: every engine returns real
+                # per-rank arrays; an all-on-rank-0 fallback would be
+                # indistinguishable from a genuine all-on-rank-0 run
+                raise ValueError(
+                    f"row (itr={row.itr}, {row.phase}, step={row.step}) has "
+                    f"no per-rank attribution but num_ranks={num_ranks}; "
+                    "per-rank count files would be wrong per rank"
+                )
             for r in range(num_ranks):
                 av_r = int(av[r]) if av is not None else (row.active_vertices if r == 0 else 0)
                 ae_r = int(ae[r]) if ae is not None else (row.active_edges if r == 0 else 0)

@@ -75,7 +75,9 @@ class ShardedNlcc:
 
     def prepare(self, acsr: AliveCsr):
         """Partition the pruned CSR by row-owner block: per-device local
-        ``ptr`` [b+1] and padded ``col`` [Amax] (global neighbor ids)."""
+        ``ptr`` [b+1] and padded ``col`` [Amax] (global neighbor ids), plus
+        the per-edge metadata codes aligned with ``col`` when the AliveCsr
+        carries them (edge-metadata-constrained matching)."""
         dev = getattr(acsr, "_shard_cache", None)
         if dev is not None and dev[0] is self:
             return dev[1]
@@ -84,14 +86,26 @@ class ShardedNlcc:
         amax = _pow2(max(max(bounds[r + 1] - bounds[r] for r in range(n)), 1))
         ptr_s = np.zeros((n, b + 1), dtype=np.int32)
         col_s = np.zeros((n, amax), dtype=np.int32)
+        meta_s = (
+            np.full((n, amax), -1, dtype=np.int32)
+            if acsr.meta is not None
+            else None
+        )
         for r in range(n):
             lo, hi = bounds[r], bounds[r + 1]
             vlo, vhi = min(r * b, v), min((r + 1) * b, v)
             ptr_s[r, : vhi - vlo + 1] = acsr.ptr[vlo : vhi + 1] - lo
             ptr_s[r, vhi - vlo + 1 :] = ptr_s[r, vhi - vlo]
             col_s[r, : hi - lo] = acsr.col[lo:hi]
+            if meta_s is not None:
+                meta_s[r, : hi - lo] = acsr.meta[lo:hi]
         with jax.enable_x64(True):
-            out = (jnp.asarray(ptr_s), jnp.asarray(col_s), amax)
+            out = (
+                jnp.asarray(ptr_s),
+                jnp.asarray(col_s),
+                None if meta_s is None else jnp.asarray(meta_s),
+                amax,
+            )
         acsr._shard_cache = (self, out)
         return out
 
@@ -100,8 +114,9 @@ class ShardedNlcc:
     @staticmethod
     def _expand(ptr, col, cur_loc, valid, cap_out: int, apad: int):
         """All alive neighbors of the valid lanes (local row ids), flattened
-        into ``cap_out`` lanes. Returns (token_lane, neighbor, valid_out,
-        overflow)."""
+        into ``cap_out`` lanes. Returns (token_lane, neighbor, edge_position,
+        valid_out, overflow); edge_position indexes the local col/meta
+        arrays (the traversed edge, for metadata hop filters)."""
         safe = jnp.where(valid, cur_loc, 0)
         base = ptr[safe].astype(jnp.int64)
         cnt = jnp.where(valid, (ptr[safe + 1].astype(jnp.int64) - base), 0)
@@ -119,7 +134,7 @@ class ShardedNlcc:
         gidx = jnp.clip(base[tok] + off, 0, apad - 1)
         nbr = col[gidx]
         valid_out = lanes < jnp.minimum(total, np.int64(cap_out))
-        return tok, nbr, valid_out, total > cap_out
+        return tok, nbr, gidx, valid_out, total > cap_out
 
     def _route(self, dest, valid, fields, cap: int):
         """Batched ragged all-to-all: deliver each valid token to shard
@@ -164,9 +179,9 @@ class ShardedNlcc:
     # -- nem program ---------------------------------------------------------
 
     def _nem_prog(
-        self, ptr, col, ok_bits, sources, n_src, fwd_in,
+        self, ptr, col, ok_bits, sources, n_src, fwd_in, meta=None,
         *, maxi: int, valid_cycle: bool, selected: bool, cap: int,
-        apad: int, fpad: int,
+        apad: int, fpad: int, hopc: tuple | None = None,
     ):
         n, b, V = self.n, self.block, self.V
         r = jax.lax.axis_index("x")
@@ -174,16 +189,23 @@ class ShardedNlcc:
         ptr, col = ptr[0], col[0]
         ok_bits, sources, fwd_in = ok_bits[0], sources[0], fwd_in[0]
         n_src = n_src[0, 0]
+        if hopc is not None:
+            meta = meta[0]
         Lr = n * cap
 
         src_valid = jnp.arange(sources.shape[0]) < n_src
-        tok, nbr, valid, overflow = self._expand(
+        tok, nbr, gidx, valid, overflow = self._expand(
             ptr, col, sources - vlo, src_valid, cap, apad
         )
-        # route the first hop's arrivals to their owners
-        (cur, src, parent), valid, ovf = self._route(
-            nbr // b, valid, [nbr, sources[tok], sources[tok]], cap
+        # route the first hop's arrivals to their owners (the traversed
+        # edge's metadata code rides along in hopc mode)
+        fields = [nbr, sources[tok], sources[tok]]
+        if hopc is not None:
+            fields.append(meta[gidx])
+        (cur, src, parent, *em), valid, ovf = self._route(
+            nbr // b, valid, fields, cap
         )
+        emeta = em[0] if hopc is not None else None
         overflow = overflow | ovf
         messages = jnp.int64(0)
         msg_r = jnp.zeros(self.R, dtype=jnp.int64)
@@ -207,6 +229,9 @@ class ShardedNlcc:
             msg_r = msg_r + mr
             cur_loc = jnp.clip(cur - vlo, 0, b - 1)
             ok = valid & (((ok_bits[cur_loc] >> h) & 1) != 0)
+            if hopc is not None:
+                # hop-h metadata check at arrival (engine/nlcc.py:217)
+                ok = ok & (emeta == hopc[h - 1])
             if h == maxi + 1:
                 if not valid_cycle:
                     acc = ok & (cur != src)
@@ -246,14 +271,18 @@ class ShardedNlcc:
             )
             sel = first & (k_s != _SENT)
             chunks.append(k_s)
-            tok, nbr, valid, ovf = self._expand(
+            tok, nbr, gidx, valid, ovf = self._expand(
                 ptr, col, jnp.clip(c_s - vlo, 0, b - 1), sel, cap, apad
             )
             overflow = overflow | ovf
             valid = valid & (nbr != p_s[tok])
-            (cur, src, parent), valid, ovf = self._route(
-                nbr // b, valid, [nbr, s_s[tok], c_s[tok]], cap
+            fields = [nbr, s_s[tok], c_s[tok]]
+            if hopc is not None:
+                fields.append(meta[gidx])
+            (cur, src, parent, *em), valid, ovf = self._route(
+                nbr // b, valid, fields, cap
             )
+            emeta = em[0] if hopc is not None else None
             overflow = overflow | ovf
 
         chunks_out = (
@@ -269,9 +298,9 @@ class ShardedNlcc:
     # -- tds program ---------------------------------------------------------
 
     def _tds_prog(
-        self, ptr, col, ok_bits, sources, targets, n_src,
+        self, ptr, col, ok_bits, sources, targets, n_src, meta=None,
         *, maxi: int, valid_cycle: bool, enum: tuple, cap: int, apad: int,
-        collect: bool,
+        collect: bool, hopc: tuple | None = None,
     ):
         n, b = self.n, self.block
         W = maxi + 1
@@ -280,17 +309,23 @@ class ShardedNlcc:
         ptr, col = ptr[0], col[0]
         ok_bits, sources, targets = ok_bits[0], sources[0], targets[0]
         n_src = n_src[0, 0]
+        if hopc is not None:
+            meta = meta[0]
 
         src_valid = jnp.arange(sources.shape[0]) < n_src
-        tok, nbr, valid, overflow = self._expand(
+        tok, nbr, gidx, valid, overflow = self._expand(
             ptr, col, sources - vlo, src_valid, cap, apad
         )
         vis0 = jnp.zeros((nbr.shape[0], W), dtype=jnp.int32).at[:, 0].set(
             sources[tok]
         )
-        (cur, tgt, visited), valid, ovf = self._route(
-            nbr // b, valid, [nbr, targets[tok], vis0], cap
+        fields = [nbr, targets[tok], vis0]
+        if hopc is not None:
+            fields.append(meta[gidx])
+        (cur, tgt, visited, *em), valid, ovf = self._route(
+            nbr // b, valid, fields, cap
         )
+        emeta = em[0] if hopc is not None else None
         overflow = overflow | ovf
         messages = jnp.int64(0)
         msg_r = jnp.zeros(self.R, dtype=jnp.int64)
@@ -303,6 +338,9 @@ class ShardedNlcc:
             msg_r = msg_r + mr
             cur_loc = jnp.clip(cur - vlo, 0, b - 1)
             ok = valid & (((ok_bits[cur_loc] >> h) & 1) != 0)
+            if hopc is not None:
+                # hop-h metadata check at arrival (engine/nlcc.py:404)
+                ok = ok & (emeta == hopc[h - 1])
             if h == maxi + 1:
                 if not valid_cycle:
                     acc = ok & (cur != tgt)
@@ -327,17 +365,28 @@ class ShardedNlcc:
             else:
                 ok = jnp.zeros_like(ok)
             visited = visited.at[:, h].set(cur)
-            tok, nbr, valid, ovf = self._expand(
+            tok, nbr, gidx, valid, ovf = self._expand(
                 ptr, col, cur_loc, ok, cap, apad
             )
             overflow = overflow | ovf
             tgt2, vis2 = tgt[tok], visited[tok]
+
+            def _route_step(valid_):
+                fields = [nbr, tgt2, vis2]
+                if hopc is not None:
+                    fields.append(meta[gidx])
+                (cur_, tgt_, visited_, *em_), valid2, ovf_ = self._route(
+                    nbr // b, valid_, fields, cap
+                )
+                return (
+                    cur_, tgt_, visited_,
+                    em_[0] if hopc is not None else None, valid2, ovf_,
+                )
+
             if h == maxi:
                 if valid_cycle:
                     valid = valid & (nbr == tgt2)  # must close on the target
-                    (cur, tgt, visited), valid, ovf = self._route(
-                        nbr // b, valid, [nbr, tgt2, vis2], cap
-                    )
+                    cur, tgt, visited, emeta, valid, ovf = _route_step(valid)
                     overflow = overflow | ovf
                     continue
                 keep = nbr != tgt2
@@ -353,9 +402,7 @@ class ShardedNlcc:
             else:
                 keep = jnp.zeros_like(keep)
             valid = valid & keep
-            (cur, tgt, visited), valid, ovf = self._route(
-                nbr // b, valid, [nbr, tgt2, vis2], cap
-            )
+            cur, tgt, visited, emeta, valid, ovf = _route_step(valid)
             overflow = overflow | ovf
 
         if not collect:
@@ -376,11 +423,10 @@ class ShardedNlcc:
             fn = self._nem_prog if kind == "nem" else self._tds_prog
             sh = P("x", None)
             rep = P()
+            n_in = 7 if kw.get("hopc") is not None else 6
             if kind == "nem":
-                n_in = 6
                 out_specs = (sh, rep, rep, sh, sh, sh, sh, rep)
             else:
-                n_in = 6
                 out_specs = (sh, rep, rep, sh, sh, sh, rep)
             smap = jax.shard_map(
                 partial(fn, **kw),
@@ -460,6 +506,7 @@ class ShardedNlcc:
         c: NonLocalConstraint,
         num_vertices: int,
         forwarded: ForwardedSets | None = None,
+        hopc: np.ndarray | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
         if forwarded is None:
@@ -471,7 +518,12 @@ class ShardedNlcc:
             ].astype(np.int64)
         else:
             map_keys = sources
-        ptr, col, apad = self.prepare(acsr)
+        ptr, col, meta, apad = self.prepare(acsr)
+        hopc_t = None
+        if hopc is not None:
+            if meta is None:
+                raise ValueError("hopc given but the AliveCsr carries no meta")
+            hopc_t = tuple(int(x) for x in hopc)
         maxi = c.cycle_length
         cap = _pow2(self._first_expansion(acsr, sources))
         src_p, cnt_p, _ = self._partition(sources)
@@ -479,16 +531,18 @@ class ShardedNlcc:
         ok_bits = self._ok_bits(labels, tv, c, map_keys=map_keys)
 
         with jax.enable_x64(True):
-            args = (
+            args = [
                 ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_p),
                 jnp.asarray(cnt_p), jnp.asarray(fwd_p),
-            )
+            ]
+            if hopc_t is not None:
+                args.append(meta)
             while True:
                 prog = self._get(
                     "nem", src_p.shape[1], maxi=maxi,
                     valid_cycle=bool(c.valid_cycle),
                     selected=bool(c.selected_vertices), cap=cap, apad=apad,
-                    fpad=fpad,
+                    fpad=fpad, hopc=hopc_t,
                 )
                 out = prog(*args)
                 if not bool(np.asarray(out[-1])):
@@ -528,29 +582,37 @@ class ShardedNlcc:
         num_vertices: int,
         collect_subgraphs: bool = True,
         forwarded: ForwardedSets | None = None,
+        hopc: np.ndarray | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
         sources = token_sources(c, labels, tv)
         starts, targets = tds_start_pairs(c, sources, forwarded, self.V)
         order = np.argsort(starts, kind="stable")
         starts, targets = starts[order], targets[order]
-        ptr, col, apad = self.prepare(acsr)
+        ptr, col, meta, apad = self.prepare(acsr)
+        hopc_t = None
+        if hopc is not None:
+            if meta is None:
+                raise ValueError("hopc given but the AliveCsr carries no meta")
+            hopc_t = tuple(int(x) for x in hopc)
         maxi = c.cycle_length
         cap = _pow2(self._first_expansion(acsr, starts))
         src_p, cnt_p, tgt_p = self._partition(starts, extra=targets)
         ok_bits = self._ok_bits(labels, tv, c)
 
         with jax.enable_x64(True):
-            args = (
+            args = [
                 ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_p),
                 jnp.asarray(tgt_p), jnp.asarray(cnt_p),
-            )
+            ]
+            if hopc_t is not None:
+                args.append(meta)
             while True:
                 prog = self._get(
                     "tds", src_p.shape[1], maxi=maxi,
                     valid_cycle=bool(c.valid_cycle),
                     enum=tuple(int(x) for x in c.enumeration), cap=cap,
-                    apad=apad, collect=collect_subgraphs,
+                    apad=apad, collect=collect_subgraphs, hopc=hopc_t,
                 )
                 out = prog(*args)
                 if not bool(np.asarray(out[-1])):

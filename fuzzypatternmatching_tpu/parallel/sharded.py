@@ -68,6 +68,9 @@ class ShardedLccEngine:
         pattern: PatternGraph,
         mesh: Mesh | None = None,
         num_devices: int | None = None,
+        num_ranks: int = 1,
+        edge_meta: tuple[np.ndarray, np.ndarray] | None = None,
+        counting: bool = False,
     ):
         if mesh is None:
             devs = jax.devices()[: (num_devices or len(jax.devices()))]
@@ -77,6 +80,11 @@ class ShardedLccEngine:
         self.n = n
         self.graph = graph
         self.p = pattern
+        # output-rank attribution (cyclic owner = v % num_ranks, like the
+        # reference's non-delegate rule, ipp:366): per-rank av/ae/msg counts
+        # are segment-sums inside the superstep, psum-reduced (beta.cpp:
+        # 1112-1125) — exact per-rank files from the mesh engine
+        self.num_ranks = num_ranks
         v = graph.num_vertices
         e = graph.num_edges
         self.block = b = -(-v // n)
@@ -222,7 +230,8 @@ class ShardedLccEngine:
         lab_tv = pattern.label_match_bitset(labels).astype(np.uint32)
         lab_pad = np.zeros(self.vpad, dtype=np.uint32)
         lab_pad[:v] = lab_tv
-        # static per-row accept masks for the init superstep
+        # static per-row label bitsets + accept masks for the init superstep
+        init_rowtv = np.zeros((n, rmax), dtype=np.uint32)
         init_adjmask = np.zeros((n, rmax), dtype=np.uint32)
         adj_all_np = np.asarray(pattern.edges_bitset_all, dtype=np.uint32)
         for r in range(n):
@@ -231,14 +240,53 @@ class ShardedLccEngine:
             tvr = lab_tv[np.minimum(rr, v - 1)] * (rr < v)
             for i in range(pattern.vertex_count):
                 m |= np.where((tvr >> i) & 1 != 0, adj_all_np[i], np.uint32(0))
+            init_rowtv[r, : len(rr)] = tvr
             init_adjmask[r, : len(rr)] = m
+
+        # edge-metadata-constrained matching on the mesh (see LccEngine /
+        # BucketedLccEngine; edge_data_db.hpp analog): per-chunk slot
+        # metadata codes select allowed-parent masks; tn accumulates per
+        # receiver bit through them (exact per-(p, i, value) gate). Partial
+        # per-bit ORs ride the same owner exchange, stacked as [rmax, K+1]
+        # (+1 = the accept-any plane for in_map).
+        if edge_meta is not None:
+            allow, ecode = edge_meta
+            ecode = np.asarray(ecode, dtype=np.int64)
+            mzero = allow.shape[0] - 1  # the all-zero allow row
+            self.meta_allow = jnp.asarray(allow, dtype=jnp.uint32)
+            mc_s = np.full((n, ec), mzero, dtype=np.int32)
+            for r in range(n):
+                lo, hi = r * ec, min((r + 1) * ec, e)
+                mc_s[r, : hi - lo] = ecode[lo:hi]
+        else:
+            self.meta_allow = None
+            mc_s = None
+
+        # counting-LCC on the mesh (counting_ee.hpp:784-790): per-chunk
+        # sender-class codes; per-(template-vertex, class) counts are
+        # per-row partial sums, ADD-combined at the vertex owner through
+        # a stacked [rmax, P] exchange next to the OR exchange.
+        self.counting = counting
+        if counting:
+            class_labels, self.required = pattern.neighbor_label_counts()
+            lab = np.asarray(labels)
+            class_vert = np.zeros(v + 1, dtype=np.uint8)
+            for j, cl in enumerate(class_labels):
+                class_vert[:v][lab == cl] = j + 1
+            cls_s = np.zeros((n, ec), dtype=np.uint8)
+            for r in range(n):
+                cc = col_chunks[r]
+                cls_s[r, : len(cc)] = class_vert[cc]
+        else:
+            self.required = None
+            cls_s = None
 
         # host copies for the slot-space fast path (alive_pairs et al.)
         self._np_evalid = evalid_s
 
         shard2 = NamedSharding(mesh, P("x", None))
         shard3 = NamedSharding(mesh, P("x", None, None))
-        self._ops = (
+        ops = [
             jax.device_put(lrow_s, shard2),
             jax.device_put(evalid_s, shard2),
             jax.device_put(colmap, shard2),
@@ -251,8 +299,15 @@ class ShardedLccEngine:
             jax.device_put(code_s, shard2),
             jax.device_put(init_adjmask, shard2),
             jax.device_put(lab_pad.reshape(n, b), shard2),
-        )
-        self.label_tv = self._ops[-1]
+            jax.device_put(rowstart.reshape(n, 1).astype(np.int32), shard2),
+        ]
+        self.label_tv = ops[11]
+        if mc_s is not None:
+            ops.append(jax.device_put(mc_s, shard2))
+            ops.append(jax.device_put(init_rowtv, shard2))
+        if cls_s is not None:
+            ops.append(jax.device_put(cls_s, shard2))
+        self._ops = tuple(ops)
 
         self.k = pattern.vertex_count
         self.adj_all = jnp.asarray(pattern.edges_bitset_all, dtype=jnp.uint32)
@@ -265,7 +320,7 @@ class ShardedLccEngine:
         # explicit shard_map operands (closure capture would broadcast)
         sh = P("x", None)
         sh3 = P("x", None, None)
-        op_specs = (sh, sh, sh, sh, sh, sh3, sh3, sh3, sh3, sh, sh, sh)
+        op_specs = tuple(sh3 if o.ndim == 3 else sh for o in self._ops)
 
         def make_call(init: bool, n_steps_total: int):
             def call(tv, alive, flag, ops):
@@ -322,15 +377,39 @@ class ShardedLccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
+    def _keep_mask_per_i(self, tn_list):
+        """Acceptance with a SEPARATE tn per receiver bit (metadata mode)."""
+        keep = jnp.zeros_like(tn_list[0])
+        for i in range(self.k):
+            tn_i = tn_list[i]
+            ok = (self.mand[i] & ~tn_i) == 0
+            if self.opt_min[i] > 0:
+                t = self.opt[i] & tn_i
+                ok = ok & (t == self.opt[i]) & (
+                    jax.lax.population_count(t) >= jnp.uint32(self.opt_min[i])
+                )
+            keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
+        return keep
+
     def _superstep_spmd(self, tv, edge_alive, tp_flag, ops, init: bool):
         n, b, ec, rmax = self.n, self.block, self.ec, self.rmax
+        R = self.num_ranks
+        meta = self.meta_allow is not None
         tv_loc = tv[0]
         alive_loc = edge_alive[0]
         flag_loc = tp_flag[0]
+        ops_loc = [o[0] for o in ops]
         (
             lrow, evalid, colmap, rowmap, revmap, sendidx_tv, sendidx_al,
-            sendrows, ridx, adj_code, init_adjmask, label_tv_own,
-        ) = (o[0] for o in ops)
+            sendrows, ridx, adj_code, init_adjmask, label_tv_own, rowstart,
+        ) = ops_loc[:13]
+        pos = 13
+        if meta:
+            mc, init_rowtv = ops_loc[pos], ops_loc[pos + 1]
+            pos += 2
+        if self.counting:
+            cls = ops_loc[pos]
+            pos += 1
 
         if init:
             tv_loc = label_tv_own
@@ -342,6 +421,7 @@ class ShardedLccEngine:
                     adj_code == cidx, bits, jnp.uint32(0)
                 )
             send_ok = p_bits != 0
+            rowtv = init_rowtv if meta else None
             adj_mask = init_adjmask
         else:
             # --- tv halo: only the boundary values this chunk reads move
@@ -361,35 +441,115 @@ class ShardedLccEngine:
             alH = jnp.concatenate([recva.reshape(-1), jnp.zeros(1, bool)])
             send_ok = (p_bits != 0) & alH[revmap] & evalid
             p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
-            adj_mask = self._or_over_bits(tvH[rowmap])
+            rowtv = tvH[rowmap]
+            adj_mask = self._or_over_bits(rowtv)
 
-        accept = (p_bits & adj_mask[lrow]) != 0
-        pa = jnp.where(accept, p_bits, jnp.uint32(0))
-
-        # partial neighbor-bitset OR per local row (hub rows spanning
-        # chunks produce partials on several devices)
-        planes = (
-            (pa[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :]) & 1
-        ).astype(jnp.uint8)
-        tn_planes = jax.ops.segment_max(planes, lrow, num_segments=rmax) > 0
         weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
-        tn_partial = jnp.sum(
-            tn_planes.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32
-        )
+
+        def seg_or(bits):
+            """Partial segment-OR of uint32 bitsets over local rows."""
+            planes = (
+                (bits[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :])
+                & 1
+            ).astype(jnp.uint8)
+            pl = jax.ops.segment_max(planes, lrow, num_segments=rmax) > 0
+            return jnp.sum(
+                pl.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32
+            )
+
+        if meta:
+            # per-slot allowed-parent masks (the slot's metadata code
+            # selects the allow row); tn accumulated per receiver bit
+            rowbits = rowtv[lrow]  # receiver's current bits per slot
+            mask = jnp.zeros_like(p_bits)
+            tn_cols = []
+            for i in range(self.k):
+                allow_i = jnp.take(self.meta_allow[:, i], mc)
+                has_i = ((rowbits >> i) & 1) != 0
+                mask = mask | jnp.where(has_i, allow_i, jnp.uint32(0))
+                tn_cols.append(seg_or(p_bits & allow_i))
+            accept = (p_bits & mask) != 0
+            pa = jnp.where(accept, p_bits, jnp.uint32(0))
+            # accept-any plane rides the exchange as column K (in_map)
+            acc_any = jax.ops.segment_max(
+                accept.astype(jnp.uint32), lrow, num_segments=rmax
+            )
+            stack = jnp.stack(tn_cols + [acc_any], axis=1)  # [rmax, K+1]
+        else:
+            accept = (p_bits & adj_mask[lrow]) != 0
+            pa = jnp.where(accept, p_bits, jnp.uint32(0))
+            # partial neighbor-bitset OR per local row (hub rows spanning
+            # chunks produce partials on several devices)
+            stack = seg_or(pa)[:, None]  # [rmax, 1]
 
         # --- deliver partials to tv owners and OR-combine -----------------
-        tn_pad = jnp.concatenate([tn_partial, jnp.zeros(1, jnp.uint32)])
+        C = stack.shape[1]
+        tn_pad = jnp.concatenate(
+            [stack, jnp.zeros((1, C), jnp.uint32)], axis=0
+        )
         recvt = jax.lax.all_to_all(
             tn_pad[sendrows], "x", split_axis=0, concat_axis=0
-        )  # [n, K] partials from each chunk
-        tn_own = jnp.zeros(b, dtype=jnp.uint32)
+        )  # [n, K, C] partials from each chunk
+        tn_own_st = jnp.zeros((b, C), dtype=jnp.uint32)
         for s in range(n):
-            tn_own = tn_own | jnp.zeros(b, dtype=jnp.uint32).at[
+            tn_own_st = tn_own_st | jnp.zeros((b, C), dtype=jnp.uint32).at[
                 ridx[s]
             ].set(recvt[s], mode="drop")
 
-        in_map = tn_own != 0
-        new_tv = tv_loc & self._keep_mask(tn_own)
+        if meta:
+            in_map = tn_own_st[:, self.k] != 0
+            new_tv = tv_loc & self._keep_mask_per_i(
+                [tn_own_st[:, i] for i in range(self.k)]
+            )
+        else:
+            tn_own = tn_own_st[:, 0]
+            in_map = tn_own != 0
+            new_tv = tv_loc & self._keep_mask(tn_own)
+
+        if self.counting:
+            # per-(template-vertex, class) counts: per-row partial sums,
+            # ADD-combined at the vertex owner (counting_ee.hpp:784-790)
+            pairs = [
+                (i, j, int(self.required[i, j]))
+                for i in range(self.k)
+                for j in range(self.required.shape[1])
+                if self.required[i, j] > 0
+            ]
+            cnt_cols = []
+            for i, j, _req in pairs:
+                if meta:
+                    acc_i = (
+                        p_bits & jnp.take(self.meta_allow[:, i], mc)
+                    ) != 0
+                else:
+                    acc_i = (pa & self.adj_all[i]) != 0
+                cnt_cols.append(
+                    jax.ops.segment_sum(
+                        (acc_i & (cls == j + 1)).astype(jnp.int32),
+                        lrow, num_segments=rmax,
+                    )
+                )
+            cnt_stack = jnp.stack(cnt_cols, axis=1)  # [rmax, P]
+            cnt_pad = jnp.concatenate(
+                [cnt_stack, jnp.zeros((1, len(pairs)), jnp.int32)], axis=0
+            )
+            recvc = jax.lax.all_to_all(
+                cnt_pad[sendrows], "x", split_axis=0, concat_axis=0
+            )
+            cnt_own = jnp.zeros((b, len(pairs)), dtype=jnp.int32)
+            for s in range(n):
+                cnt_own = cnt_own.at[ridx[s]].add(recvc[s], mode="drop")
+            keep_cnt = jnp.zeros(b, dtype=jnp.uint32)
+            for i in range(self.k):
+                ok_i = jnp.ones(b, dtype=bool)
+                for p, (pi, _pj, req) in enumerate(pairs):
+                    if pi == i:
+                        ok_i = ok_i & (cnt_own[:, p] >= req)
+                keep_cnt = keep_cnt | jnp.where(
+                    ok_i, jnp.uint32(1 << i), jnp.uint32(0)
+                )
+            new_tv = new_tv & keep_cnt
+
         if init:
             new_tv = jnp.where(in_map, new_tv, jnp.uint32(0))
             died = in_map & (new_tv == 0)
@@ -411,15 +571,40 @@ class ShardedLccEngine:
         else:
             new_alive = alive_loc & (accept | flag_loc) & row_live
 
-        av = jax.lax.psum(jnp.sum(new_tv != 0), "x")
-        ae = jax.lax.psum(jnp.sum(new_alive), "x")
-        msgs = jax.lax.psum(jnp.sum(send_ok), "x")
+        # --- per-output-rank attribution (owner = global id % R,
+        # beta.cpp:1112-1125), psum-reduced to exact per-rank counts ------
+        if R == 1:
+            av_r = jax.lax.psum(jnp.sum(new_tv != 0, dtype=jnp.int32), "x")[None]
+            ae_r = jax.lax.psum(jnp.sum(new_alive, dtype=jnp.int32), "x")[None]
+            msg_r = jax.lax.psum(jnp.sum(send_ok, dtype=jnp.int32), "x")[None]
+        else:
+            r_idx = jax.lax.axis_index("x")
+            gid = r_idx.astype(jnp.int32) * b + jnp.arange(b, dtype=jnp.int32)
+            av_r = jax.lax.psum(
+                jax.ops.segment_sum(
+                    (new_tv != 0).astype(jnp.int32), gid % R, num_segments=R
+                ),
+                "x",
+            )
+            slot_rank = (rowstart[0].astype(jnp.int32) + lrow) % R
+            ae_r = jax.lax.psum(
+                jax.ops.segment_sum(
+                    new_alive.astype(jnp.int32), slot_rank, num_segments=R
+                ),
+                "x",
+            )
+            msg_r = jax.lax.psum(
+                jax.ops.segment_sum(
+                    send_ok.astype(jnp.int32), slot_rank, num_segments=R
+                ),
+                "x",
+            )
         any_died = jax.lax.pmax(jnp.any(died).astype(jnp.int32), "x")
         return (
             new_tv[None],
             new_alive[None],
             jnp.zeros_like(flag_loc)[None],
-            (av, ae, msgs, any_died),
+            (av_r, ae_r, msg_r, any_died),
         )
 
     # -------------------------------------------------------------- public
@@ -490,14 +675,21 @@ class ShardedLccEngine:
         """(row, col) arrays of currently-alive edges, row-sorted (chunks
         are contiguous CSR slices, so flat order IS row order)."""
         if state.pairs_cache is not None:
-            return state.pairs_cache
+            return state.pairs_cache[:2]
         al = np.asarray(state.edge_alive).reshape(-1)[: self.graph.num_edges]
         ids = np.nonzero(al)[0]
         state.pairs_cache = (
             self.graph.edge_row_at(ids).astype(np.int64),
             self.graph.cols_at(ids).astype(np.int64),
+            ids,
         )
-        return state.pairs_cache
+        return state.pairs_cache[:2]
+
+    def alive_edge_ids(self, state: ShardedState) -> np.ndarray:
+        """Original CSR edge ids of the alive set, aligned with
+        ``alive_pairs`` order (chunk layout == flat CSR order)."""
+        self.alive_pairs(state)
+        return state.pairs_cache[2]
 
     def state_from_edge_ids(
         self, tv: np.ndarray, edge_ids: np.ndarray, flag_ids=None
@@ -556,9 +748,19 @@ class ShardedLccEngine:
         rows = []
         any_died = False
 
-        def emit(av, ae, msgs, died):
+        def emit(av_r, ae_r, msg_r, died):
             nonlocal any_died
-            rows.append((int(av), int(ae), int(msgs), None))
+            av_r = np.asarray(av_r)
+            ae_r = np.asarray(ae_r)
+            msg_r = np.asarray(msg_r)
+            rows.append(
+                (
+                    int(av_r.sum()),
+                    int(ae_r.sum()),
+                    int(msg_r.sum()),
+                    {"av": av_r, "ae": ae_r, "msg": msg_r},
+                )
+            )
             any_died = any_died or bool(died)
 
         for st in head:

@@ -35,16 +35,20 @@ def test_neighbor_label_counts_table():
     assert req[0, 1] == 1 and req[2, 1] == 1
 
 
-def test_counting_prunes_single_class_instance():
+ENGINES = ["flat", "bucketed", "sharded"]
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_counting_prunes_single_class_instance(engine):
     # path a(1)-b(2): base LCC keeps b (heard class 1); counting kills it
     # (needs 2 distinct label-1 neighbors), which then kills a too
     src, dst = undirected([(0, 1)])
     g = from_edges(src, dst, num_vertices=2)
     labels = np.array([1, 2], dtype=np.uint64)
     pat = _path_121()
-    base = MatchEngine(g, labels, pat, [], lcc_engine="flat").run()
+    base = MatchEngine(g, labels, pat, [], lcc_engine=engine).run()
     cnt = MatchEngine(
-        g, labels, pat, [], lcc_engine="flat", counting=True
+        g, labels, pat, [], lcc_engine=engine, counting=True
     ).run()
     assert len(base.active_vertices) == 2
     assert len(cnt.active_vertices) == 0
@@ -54,32 +58,47 @@ def test_counting_prunes_single_class_instance():
     g3 = from_edges(src, dst, num_vertices=3)
     labels3 = np.array([1, 2, 1], dtype=np.uint64)
     cnt3 = MatchEngine(
-        g3, labels3, pat, [], lcc_engine="flat", counting=True
+        g3, labels3, pat, [], lcc_engine=engine, counting=True
     ).run()
     assert len(cnt3.active_vertices) == 3
 
 
+@pytest.mark.parametrize("engine", ENGINES)
 @pytest.mark.parametrize("seed", [0, 1, 4])
-def test_counting_engine_matches_counting_oracle(seed):
+def test_counting_engine_matches_counting_oracle(seed, engine):
     g = _random_graph(seed, v=48, e=200)
     rng = np.random.RandomState(seed + 3)
     labels = rng.randint(1, 3, size=48).astype(np.uint64)
     cs = [path_constraint()]
     o = MatchOracle(g, labels, PATH_PATTERN, cs, counting=True).run()
     e = MatchEngine(
-        g, labels, PATH_PATTERN, cs, lcc_engine="flat", counting=True,
+        g, labels, PATH_PATTERN, cs, lcc_engine=engine, counting=True,
         nlcc_mode="host",
     ).run()
     _results_equal(o, e)
     # and counting must prune at least as hard as base mode
-    b = MatchEngine(g, labels, PATH_PATTERN, cs, lcc_engine="flat").run()
+    b = MatchEngine(g, labels, PATH_PATTERN, cs, lcc_engine=engine).run()
     assert set(e.active_vertices) <= set(b.active_vertices)
 
 
-def test_counting_requires_flat_engine():
-    g = _random_graph(2, v=16, e=40)
-    labels = np.ones(16, dtype=np.uint64)
-    with pytest.raises(ValueError):
-        MatchEngine(
-            g, labels, PATH_PATTERN, [], lcc_engine="bucketed", counting=True
-        )
+def test_counting_with_metadata_matches_oracle():
+    """Counting composed with edge-metadata constraints (the acc_i gate is
+    the per-(p, i, value) allow mask): all engines track the oracle."""
+    from test_edge_metadata import graph_meta, meta_pattern
+
+    src, dst = undirected([(0, 1), (1, 2), (1, 3), (3, 4)])
+    g = from_edges(src, dst, num_vertices=5)
+    labels = np.array([1, 2, 1, 1, 2], dtype=np.uint64)
+    pat = meta_pattern(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], [1, 2, 1], [5, 5, 5, 5], diameter=2
+    )
+    ed = graph_meta(g, {(0, 1): 5, (1, 2): 5, (1, 3): 6, (3, 4): 5})
+    o = MatchOracle(
+        g, labels, pat, [], counting=True, edge_data=ed
+    ).run()
+    for engine in ENGINES:
+        e = MatchEngine(
+            g, labels, pat, [], lcc_engine=engine, counting=True,
+            edge_data=ed,
+        ).run()
+        _results_equal(o, e)

@@ -62,10 +62,14 @@ def assert_meta_equivalent(g, labels, pattern, constraints, edge_data):
     o_rows = [(r.itr, r.phase, r.step, r.active_vertices, r.active_edges,
                r.messages) for r in o.rows]
     o_subs = {k: sorted(v) for k, v in o.subgraphs.items()}
-    for eng in ("flat", "bucketed"):
+    # sharded runs twice: host NLCC (auto) and mesh NLCC (device) — the
+    # latter exercises ShardedNlcc's metadata hop filters
+    combos = [("flat", "auto"), ("bucketed", "auto"), ("sharded", "auto"),
+              ("sharded", "device")]
+    for eng, nlcc_mode in combos:
         e = MatchEngine(
             g, labels, pattern, constraints, lcc_engine=eng,
-            edge_data=edge_data,
+            edge_data=edge_data, nlcc_mode=nlcc_mode,
         ).run()
         e_rows = [(r.itr, r.phase, r.step, r.active_vertices, r.active_edges,
                    r.messages) for r in e.rows]

@@ -130,3 +130,34 @@ def test_full_search_on_mesh(tree_pattern, tmp_path):
     assert oracle_r.active_vertices == engine_r.active_vertices
     assert oracle_r.active_edges == engine_r.active_edges
     assert oracle_r.pattern_found == engine_r.pattern_found
+
+
+def test_sharded_per_rank_attribution_matches_flat(tree_pattern, tmp_path):
+    """Exact per-output-rank av/ae/msg attribution from the mesh engine
+    (beta.cpp:1112-1125): every PhaseRow's per_rank arrays must equal the
+    flat engine's, rank by rank, at num_ranks=4 over an 8-device mesh."""
+    from fuzzypatternmatching_tpu.engine.driver import MatchEngine
+    from fuzzypatternmatching_tpu.pattern.nonlocal_constraint import (
+        load_nonlocal_constraints,
+    )
+
+    g = _rmat_graph(11)
+    labels = degree_labels(g)
+    constraints = load_nonlocal_constraints(
+        write_tree_pattern(tmp_path), tree_pattern.vertex_data
+    )
+    flat_r = MatchEngine(
+        g, labels, tree_pattern, constraints, lcc_engine="flat", num_ranks=4
+    ).run()
+    shard_r = MatchEngine(
+        g, labels, tree_pattern, constraints, lcc_engine="sharded",
+        num_ranks=4,
+    ).run()
+    assert flat_r.trace() == shard_r.trace()
+    assert len(flat_r.rows) == len(shard_r.rows)
+    for fr, sr in zip(flat_r.rows, shard_r.rows):
+        assert fr.per_rank is not None and sr.per_rank is not None
+        for key in ("av", "ae", "msg"):
+            assert (
+                np.asarray(fr.per_rank[key]) == np.asarray(sr.per_rank[key])
+            ).all(), (fr.itr, fr.phase, fr.step, key)
