@@ -24,6 +24,7 @@ from .lcc_bucketed import BucketedLccEngine
 from .nlcc import (
     AliveCsr,
     ForwardedSets,
+    FrontierOverflow,
     invalidate_sources,
     run_nem,
     run_tds,
@@ -324,6 +325,37 @@ class MatchEngine:
         work = self._dev_nlcc._first_expansion(acsr, sources)
         return work >= self.nlcc_device_min
 
+    def _dev_or_host(self, is_tds, pl, acsr, tv, c, forwarded, hopc):
+        """One constraint on the device NLCC engine, with the host engine as
+        the bounded-growth fallback: a frontier that overflows past the
+        capped capacity doublings (each a fresh multi-minute XLA compile)
+        reruns on the host — exact same results, no compile stall. The
+        forwarded set is snapshotted so a partial device run never leaks
+        dedup keys into the host rerun."""
+        kw = {"forwarded": forwarded, "hopc": hopc}
+        if hasattr(self._dev_nlcc, "mesh"):
+            kw["source_batch"] = self.source_batch
+        fn = self._dev_nlcc.run_tds if is_tds else self._dev_nlcc.run_nem
+        snapshot = forwarded.keys.copy()
+        try:
+            return fn(
+                acsr, self.labels, tv, c, self.graph.num_vertices, **kw
+            )
+        except FrontierOverflow as exc:
+            print(
+                f"NLCC constraint [{pl}]: {exc}; falling back to the host "
+                "engine"
+            )
+            forwarded.keys = snapshot
+            host_fn = run_tds if is_tds else run_nem
+            hkw = {"forwarded": forwarded, "hopc": hopc,
+                   "num_ranks": self.num_ranks}
+            if is_tds:
+                hkw["source_batch"] = self.source_batch
+            return host_fn(
+                acsr, self.labels, tv, c, self.graph.num_vertices, **hkw
+            )
+
     def _edge_keys_cached(self) -> np.ndarray:
         """Sorted (row*V + col) keys — built lazily, only on the bucketed
         compact path (which always holds a materialized Graph)."""
@@ -450,9 +482,8 @@ class MatchEngine:
                     forwarded.reset_for(c, self.labels, tv, g.num_vertices)
                     if c.is_tds:
                         if use_dev:
-                            out = self._dev_nlcc.run_tds(
-                                acsr, self.labels, tv, c, g.num_vertices,
-                                forwarded=forwarded, hopc=hopc,
+                            out = self._dev_or_host(
+                                True, pl, acsr, tv, c, forwarded, hopc
                             )
                         else:
                             out = run_tds(
@@ -469,9 +500,8 @@ class MatchEngine:
                             result.subgraphs.setdefault(pl, [])
                     else:
                         if use_dev:
-                            out = self._dev_nlcc.run_nem(
-                                acsr, self.labels, tv, c, g.num_vertices,
-                                forwarded=forwarded, hopc=hopc,
+                            out = self._dev_or_host(
+                                False, pl, acsr, tv, c, forwarded, hopc
                             )
                         else:
                             out = run_nem(

@@ -108,6 +108,14 @@ class AliveCsr:
             lo = hi
 
 
+class FrontierOverflow(RuntimeError):
+    """A statically-capped device token frontier overflowed past the
+    bounded number of capacity doublings. Each doubling compiles a fresh
+    (shape, capacity) XLA program — minutes each through a remote-compile
+    relay — so growth is capped and the caller (engine/driver.py) falls
+    back to the host engine instead of stalling for hours."""
+
+
 @dataclass
 class ForwardedSets:
     """Persistent (vertex, source) forwarded-token keys — the dense mirror

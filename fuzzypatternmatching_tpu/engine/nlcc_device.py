@@ -34,6 +34,7 @@ import numpy as np
 from ..pattern.nonlocal_constraint import NonLocalConstraint
 from .nlcc import (
     AliveCsr,
+    FrontierOverflow,
     ForwardedSets,
     NlccOutcome,
     tds_start_pairs,
@@ -56,6 +57,11 @@ def _in_sorted(a: jax.Array, q: jax.Array) -> jax.Array:
 
 class DeviceNlcc:
     """Jit-program cache + host wrappers mirroring run_nem / run_tds."""
+
+    # bound on capacity doublings (see ShardedNlcc.MAX_CAP_DOUBLINGS): each
+    # (shape, capacity) pair is a fresh XLA program; past the cap the run
+    # raises FrontierOverflow and the driver falls back to the host engine
+    MAX_CAP_DOUBLINGS = 3
 
     def __init__(self, num_vertices: int, num_ranks: int = 1):
         if num_vertices >= (1 << 31):
@@ -350,6 +356,7 @@ class DeviceNlcc:
                 ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_pad),
                 jnp.int32(len(sources)), jnp.asarray(fwd_in),
             )
+            doublings = 0
             while True:
                 prog = self._get(
                     "nem", maxi=maxi, valid_cycle=bool(c.valid_cycle),
@@ -359,7 +366,13 @@ class DeviceNlcc:
                 out = prog(*args)
                 if not bool(out[-1]):
                     break
+                if doublings >= self.MAX_CAP_DOUBLINGS:
+                    raise FrontierOverflow(
+                        f"device nem frontier overflowed cap={cap} after "
+                        f"{doublings} doublings"
+                    )
                 cap *= 2
+                doublings += 1
         validated_v, messages, msg_r, mk_v, mk_p, mk_acc, chunks, _ = out
         validated_v = np.asarray(validated_v)
         edge_marks = []
@@ -418,6 +431,7 @@ class DeviceNlcc:
                 ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_pad),
                 jnp.asarray(tgt_pad), jnp.int32(len(starts)),
             )
+            doublings = 0
             while True:
                 prog = self._get(
                     "tds", maxi=maxi, valid_cycle=bool(c.valid_cycle),
@@ -427,7 +441,13 @@ class DeviceNlcc:
                 out = prog(*args)
                 if not bool(out[-1]):
                     break
+                if doublings >= self.MAX_CAP_DOUBLINGS:
+                    raise FrontierOverflow(
+                        f"device TDS frontier overflowed cap={cap} after "
+                        f"{doublings} doublings"
+                    )
                 cap *= 2
+                doublings += 1
         validated_v, messages, msg_r, visited, cur, sub_acc, _ = out
         validated_v = np.asarray(validated_v)
         sub_acc = np.asarray(sub_acc)

@@ -38,6 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..engine.nlcc import (
     AliveCsr,
     ForwardedSets,
+    FrontierOverflow,
     NlccOutcome,
     tds_start_pairs,
     token_sources,
@@ -59,6 +60,12 @@ def _in_sorted(a: jax.Array, q: jax.Array) -> jax.Array:
 
 class ShardedNlcc:
     """Mesh-distributed drop-in for DeviceNlcc (same run_nem/run_tds API)."""
+
+    # bound on capacity doublings per batch: every (shape, capacity) pair is
+    # a fresh XLA program (2-10 min through the compile relay); past the cap
+    # the run raises FrontierOverflow and the driver falls back to the host
+    # engine with a clear log line instead of stalling for hours
+    MAX_CAP_DOUBLINGS = 3
 
     def __init__(self, num_vertices: int, mesh: Mesh, num_ranks: int = 1):
         if num_vertices >= (1 << 31):
@@ -507,6 +514,7 @@ class ShardedNlcc:
         num_vertices: int,
         forwarded: ForwardedSets | None = None,
         hopc: np.ndarray | None = None,
+        source_batch: int | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
         if forwarded is None:
@@ -525,52 +533,73 @@ class ShardedNlcc:
                 raise ValueError("hopc given but the AliveCsr carries no meta")
             hopc_t = tuple(int(x) for x in hopc)
         maxi = c.cycle_length
-        cap = _pow2(self._first_expansion(acsr, sources))
-        src_p, cnt_p, _ = self._partition(sources)
+        # dedup keys are per (vertex, SOURCE): source batches are
+        # independent, so the outer chunking (the -x machinery,
+        # tds_batch_1.hpp:1149-1303) bounds peak frontier memory exactly
+        sb = source_batch or max(len(sources), 1)
         fwd_p, fpad = self._partition_keys(forwarded.keys)
         ok_bits = self._ok_bits(labels, tv, c, map_keys=map_keys)
+        validated_v = np.zeros(self.V, dtype=bool)
+        edge_marks: list = []
+        messages = 0
+        msg_r_tot = np.zeros(self.R, dtype=np.int64)
 
-        with jax.enable_x64(True):
-            args = [
-                ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_p),
-                jnp.asarray(cnt_p), jnp.asarray(fwd_p),
-            ]
-            if hopc_t is not None:
-                args.append(meta)
-            while True:
-                prog = self._get(
-                    "nem", src_p.shape[1], maxi=maxi,
-                    valid_cycle=bool(c.valid_cycle),
-                    selected=bool(c.selected_vertices), cap=cap, apad=apad,
-                    fpad=fpad, hopc=hopc_t,
-                )
-                out = prog(*args)
-                if not bool(np.asarray(out[-1])):
-                    break
-                cap *= 2
-        validated_s, messages, msg_r, mk_v, mk_p, mk_acc, chunks, _ = out
-        validated_v = np.asarray(validated_s).reshape(-1)[: self.V]
-        edge_marks = []
-        if c.valid_cycle:
-            mk_acc = np.asarray(mk_acc).reshape(-1)
-            if mk_acc.any():
-                mv = np.asarray(mk_v).reshape(-1)[mk_acc]
-                mp = np.asarray(mk_p).reshape(-1)[mk_acc]
-                edge_marks = [(int(v), int(p)) for v, p in zip(mv, mp)]
-        new_keys = np.asarray(chunks).reshape(-1)
-        new_keys = new_keys[new_keys != _SENT]
-        if len(new_keys):
-            forwarded.add(np.unique(new_keys))
-        msg_r = np.asarray(msg_r)
-        if self.R == 1:
-            msg_r = msg_r[:1]
+        for lo in range(0, max(len(sources), 1), sb):
+            batch = sources[lo : lo + sb]
+            if len(batch) == 0:
+                continue
+            cap = _pow2(self._first_expansion(acsr, batch))
+            src_p, cnt_p, _ = self._partition(batch)
+            with jax.enable_x64(True):
+                args = [
+                    ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_p),
+                    jnp.asarray(cnt_p), jnp.asarray(fwd_p),
+                ]
+                if hopc_t is not None:
+                    args.append(meta)
+                doublings = 0
+                while True:
+                    prog = self._get(
+                        "nem", src_p.shape[1], maxi=maxi,
+                        valid_cycle=bool(c.valid_cycle),
+                        selected=bool(c.selected_vertices), cap=cap,
+                        apad=apad, fpad=fpad, hopc=hopc_t,
+                    )
+                    out = prog(*args)
+                    if not bool(np.asarray(out[-1])):
+                        break
+                    if doublings >= self.MAX_CAP_DOUBLINGS:
+                        raise FrontierOverflow(
+                            f"mesh nem frontier overflowed cap={cap} after "
+                            f"{doublings} doublings (sources "
+                            f"{lo}..{lo + len(batch)})"
+                        )
+                    cap *= 2
+                    doublings += 1
+            validated_s, m_b, mr_b, mk_v, mk_p, mk_acc, chunks, _ = out
+            validated_v |= np.asarray(validated_s).reshape(-1)[: self.V]
+            messages += int(m_b)
+            mr_b = np.asarray(mr_b)
+            msg_r_tot += mr_b if self.R > 1 else mr_b[:1]
+            if c.valid_cycle:
+                mk_acc = np.asarray(mk_acc).reshape(-1)
+                if mk_acc.any():
+                    mv = np.asarray(mk_v).reshape(-1)[mk_acc]
+                    mp = np.asarray(mk_p).reshape(-1)[mk_acc]
+                    edge_marks += [
+                        (int(v), int(p)) for v, p in zip(mv, mp)
+                    ]
+            new_keys = np.asarray(chunks).reshape(-1)
+            new_keys = new_keys[new_keys != _SENT]
+            if len(new_keys):
+                forwarded.add(np.unique(new_keys))
         return NlccOutcome(
             map_keys,
             validated_v[map_keys] if len(map_keys) else np.zeros(0, dtype=bool),
-            int(messages),
+            messages,
             edge_marks,
             None,
-            msg_r,
+            msg_r_tot,
         )
 
     def run_tds(
@@ -583,6 +612,7 @@ class ShardedNlcc:
         collect_subgraphs: bool = True,
         forwarded: ForwardedSets | None = None,
         hopc: np.ndarray | None = None,
+        source_batch: int | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
         sources = token_sources(c, labels, tv)
@@ -596,48 +626,74 @@ class ShardedNlcc:
                 raise ValueError("hopc given but the AliveCsr carries no meta")
             hopc_t = tuple(int(x) for x in hopc)
         maxi = c.cycle_length
-        cap = _pow2(self._first_expansion(acsr, starts))
-        src_p, cnt_p, tgt_p = self._partition(starts, extra=targets)
+        W = maxi + 1
         ok_bits = self._ok_bits(labels, tv, c)
+        # token-source batching (the -x machinery, tds_batch_1.hpp:
+        # 1149-1303): TDS has no cross-source dedup, so chunks of the
+        # start set are independent and bound peak frontier memory
+        sb = source_batch or max(len(starts), 1)
+        validated_v = np.zeros(self.V, dtype=bool)
+        messages = 0
+        msg_r_tot = np.zeros(self.R, dtype=np.int64)
+        sub_parts: list[np.ndarray] = []
 
-        with jax.enable_x64(True):
-            args = [
-                ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_p),
-                jnp.asarray(tgt_p), jnp.asarray(cnt_p),
-            ]
-            if hopc_t is not None:
-                args.append(meta)
-            while True:
-                prog = self._get(
-                    "tds", src_p.shape[1], maxi=maxi,
-                    valid_cycle=bool(c.valid_cycle),
-                    enum=tuple(int(x) for x in c.enumeration), cap=cap,
-                    apad=apad, collect=collect_subgraphs, hopc=hopc_t,
+        for lo in range(0, max(len(starts), 1), sb):
+            batch = starts[lo : lo + sb]
+            btgt = targets[lo : lo + sb]
+            if len(batch) == 0:
+                continue
+            cap = _pow2(self._first_expansion(acsr, batch))
+            src_p, cnt_p, tgt_p = self._partition(batch, extra=btgt)
+            with jax.enable_x64(True):
+                args = [
+                    ptr, col, jnp.asarray(ok_bits), jnp.asarray(src_p),
+                    jnp.asarray(tgt_p), jnp.asarray(cnt_p),
+                ]
+                if hopc_t is not None:
+                    args.append(meta)
+                doublings = 0
+                while True:
+                    prog = self._get(
+                        "tds", src_p.shape[1], maxi=maxi,
+                        valid_cycle=bool(c.valid_cycle),
+                        enum=tuple(int(x) for x in c.enumeration), cap=cap,
+                        apad=apad, collect=collect_subgraphs, hopc=hopc_t,
+                    )
+                    out = prog(*args)
+                    if not bool(np.asarray(out[-1])):
+                        break
+                    if doublings >= self.MAX_CAP_DOUBLINGS:
+                        raise FrontierOverflow(
+                            f"mesh TDS frontier overflowed cap={cap} after "
+                            f"{doublings} doublings (sources "
+                            f"{lo}..{lo + len(batch)})"
+                        )
+                    cap *= 2
+                    doublings += 1
+            validated_s, m_b, mr_b, visited, cur, sub_acc, _ = out
+            validated_v |= np.asarray(validated_s).reshape(-1)[: self.V]
+            messages += int(m_b)
+            mr_b = np.asarray(mr_b)
+            msg_r_tot += mr_b if self.R > 1 else mr_b[:1]
+            sub_acc = np.asarray(sub_acc).reshape(-1)
+            if collect_subgraphs and sub_acc.any():
+                vis = np.asarray(visited).reshape(-1, W)[sub_acc].astype(
+                    np.int64
                 )
-                out = prog(*args)
-                if not bool(np.asarray(out[-1])):
-                    break
-                cap *= 2
-        validated_s, messages, msg_r, visited, cur, sub_acc, _ = out
-        validated_v = np.asarray(validated_s).reshape(-1)[: self.V]
-        sub_acc = np.asarray(sub_acc).reshape(-1)
-        if collect_subgraphs and sub_acc.any():
-            W = maxi + 1
-            vis = np.asarray(visited).reshape(-1, W)[sub_acc].astype(np.int64)
-            last = np.asarray(cur).reshape(-1)[sub_acc].astype(np.int64)[
-                :, None
-            ]
-            subgraphs = np.hstack([vis, last, last])
-        else:
-            subgraphs = np.empty((0, maxi + 3), dtype=np.int64)
-        msg_r = np.asarray(msg_r)
-        if self.R == 1:
-            msg_r = msg_r[:1]
+                last = np.asarray(cur).reshape(-1)[sub_acc].astype(np.int64)[
+                    :, None
+                ]
+                sub_parts.append(np.hstack([vis, last, last]))
+        subgraphs = (
+            np.vstack(sub_parts)
+            if sub_parts
+            else np.empty((0, maxi + 3), dtype=np.int64)
+        )
         return NlccOutcome(
             sources,
             validated_v[sources] if len(sources) else np.zeros(0, dtype=bool),
-            int(messages),
+            messages,
             [],
             subgraphs,
-            msg_r,
+            msg_r_tot,
         )

@@ -211,3 +211,74 @@ def test_driver_mesh_tds_selected():
         nlcc_mode="device",
     ).run()
     _results_equal(host_r, mesh_r)
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_source_batching_matches_unbatched(ndev, batch):
+    """Token-source batching on the mesh (the -x machinery,
+    tds_batch_1.hpp:1149-1303): chunked runs must reproduce the
+    all-at-once outcome exactly — validated sets, messages, per-rank
+    counts, subgraphs, forwarded keys."""
+    seed = 5
+    g = _random_graph(seed, v=48, e=160)
+    rng = np.random.RandomState(seed + 7)
+    labels = rng.randint(1, 3, size=48).astype(np.uint64)
+    devn = ShardedNlcc(48, _mesh(ndev), num_ranks=4)
+
+    c = tds_constraint()
+    tv = _tv_for(labels, [c], 48)
+    acsr = _full_acsr(g)
+    host = run_tds(acsr, labels, tv, c, 48, num_ranks=4)
+    dev_b = devn.run_tds(acsr, labels, tv, c, 48, source_batch=batch)
+    _assert_outcome_equal(host, dev_b)
+
+    c2 = cycle_constraint()
+    tv2 = _tv_for(labels, [c2], 48)
+    f_h, f_d = ForwardedSets.empty(), ForwardedSets.empty()
+    host2 = run_nem(acsr, labels, tv2, c2, 48, num_ranks=4, forwarded=f_h)
+    dev2 = devn.run_nem(
+        acsr, labels, tv2, c2, 48, forwarded=f_d, source_batch=batch
+    )
+    _assert_outcome_equal(host2, dev2)
+    assert np.array_equal(f_h.keys, f_d.keys)
+
+
+def test_overflow_past_cap_raises_and_driver_falls_back(tmp_path):
+    """Past MAX_CAP_DOUBLINGS the mesh engines raise FrontierOverflow
+    (bounded compile cost) and the DRIVER falls back to the host engine
+    with identical results (nlcc_sharded capacity policy)."""
+    from fuzzypatternmatching_tpu.engine.nlcc import FrontierOverflow
+    from fuzzypatternmatching_tpu.pattern.pattern_graph import PatternGraph
+
+    g = _random_graph(9, v=48, e=300)
+    rng = np.random.RandomState(16)
+    labels = rng.randint(1, 4, size=48).astype(np.uint64)
+    c = cycle_constraint()
+    tv = _tv_for(labels, [c], 48)
+    acsr = _full_acsr(g)
+    devn = ShardedNlcc(48, _mesh(4), num_ranks=1)
+    devn._first_expansion = lambda acsr_, sources_: 1
+    devn.MAX_CAP_DOUBLINGS = 0
+    with pytest.raises(FrontierOverflow):
+        devn.run_nem(acsr, labels, tv, c, 48, forwarded=ForwardedSets.empty())
+
+    # driver level: force the same overflow inside a full mesh search and
+    # require the host fallback to reproduce the host-NLCC driver exactly
+    from test_oracle import TRI_PATTERN
+
+    src, dst = undirected([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)])
+    g2 = from_edges(src, dst, num_vertices=5)
+    labels2 = np.array([1, 2, 3, 1, 2], dtype=np.uint64)
+    host_r = MatchEngine(
+        g2, labels2, TRI_PATTERN, [cycle_constraint()],
+        lcc_engine="sharded", nlcc_mode="host",
+    ).run()
+    eng = MatchEngine(
+        g2, labels2, TRI_PATTERN, [cycle_constraint()],
+        lcc_engine="sharded", nlcc_mode="device",
+    )
+    eng._dev_nlcc._first_expansion = lambda acsr_, sources_: 1
+    eng._dev_nlcc.MAX_CAP_DOUBLINGS = 0
+    mesh_r = eng.run()
+    _results_equal(host_r, mesh_r)
