@@ -44,7 +44,12 @@ class MatchOracle:
         constraints: list[NonLocalConstraint],
         counting: bool = False,
         edge_data: np.ndarray | None = None,
+        num_ranks: int = 1,
     ):
+        # output-rank attribution: cyclic owner = v % num_ranks (ipp:366);
+        # messages are attributed to the RECEIVER's owner, matching every
+        # engine (beta.cpp:1112-1125 per-rank count files)
+        self.num_ranks = num_ranks
         self.g = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
         self.p = pattern
@@ -258,8 +263,15 @@ class MatchOracle:
                     for nbr in self.alive[v]:
                         self.alive[v][nbr] = 0
 
+            av_r, ae_r = self._per_rank_counts()
+            msg_r = np.zeros(self.num_ranks, dtype=np.int64)
+            for rv, _p, _b in msgs:
+                msg_r[rv % self.num_ranks] += 1
             result.rows.append(
-                PhaseRow(itr, "LP", s, *self._counts(), len(msgs))
+                PhaseRow(
+                    itr, "LP", s, *self._counts(), len(msgs),
+                    per_rank={"av": av_r, "ae": ae_r, "msg": msg_r},
+                )
             )
         return not_finished
 
@@ -267,6 +279,16 @@ class MatchOracle:
         av = int(np.sum(self.tv != 0))
         ae = sum(len(self.alive[v]) for v in range(self.g.num_vertices) if self.tv[v])
         return av, ae
+
+    def _per_rank_counts(self) -> tuple[np.ndarray, np.ndarray]:
+        R = self.num_ranks
+        av_r = np.zeros(R, dtype=np.int64)
+        ae_r = np.zeros(R, dtype=np.int64)
+        for v in range(self.g.num_vertices):
+            if self.tv[v]:
+                av_r[v % R] += 1
+                ae_r[v % R] += len(self.alive[v])
+        return av_r, ae_r
 
     # ----------------------------------------------------------------- NLCC
 
@@ -320,6 +342,7 @@ class MatchOracle:
         labels, indices = c.labels, c.indices
         subgraphs: list[tuple] = []
         messages = 0
+        msg_r = np.zeros(self.num_ranks, dtype=np.int64)
         # metadata mode: hop h (arrival at walk position h) traverses the
         # pattern edge (indices[h-1], indices[h]); the data edge must carry
         # that edge's required metadata value
@@ -354,6 +377,8 @@ class MatchOracle:
 
         for h in range(1, maxi + 2):
             messages += len(inflight)
+            for tok in inflight:
+                msg_r[tok[0] % self.num_ranks] += 1
             lbl_h = int(labels[h])
             bit_h = int(indices[h])
             final = h == maxi + 1
@@ -489,7 +514,7 @@ class MatchOracle:
 
         if c.is_tds:
             result.subgraphs.setdefault(pl, []).extend(subgraphs)
-        return token_source_map, messages
+        return token_source_map, messages, msg_r
 
     def invalidate_sources(self, c: NonLocalConstraint, token_source_map) -> bool:
         """Reset the source template-vertex bit of failed sources
@@ -526,14 +551,18 @@ class MatchOracle:
             if not_finished:
                 not_finished = False
                 for pl, c in enumerate(self.constraints):
-                    tsm, msg_count = self.nlcc_call(c, pl, result)
+                    tsm, msg_count, msg_r = self.nlcc_call(c, pl, result)
                     if any(tsm.values()):
                         result.pattern_found[pl] = True
                     deleted = self.invalidate_sources(c, tsm)
                     if deleted:
                         not_finished = True
+                    av_r, ae_r = self._per_rank_counts()
                     result.rows.append(
-                        PhaseRow(itr, "TP", pl, *self._counts(), msg_count)
+                        PhaseRow(
+                            itr, "TP", pl, *self._counts(), msg_count,
+                            per_rank={"av": av_r, "ae": ae_r, "msg": msg_r},
+                        )
                     )
                     if deleted and c.interleave_lcc:
                         if self.lcc_call(False, itr, result):

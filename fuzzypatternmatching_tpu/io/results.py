@@ -148,12 +148,15 @@ def write_results(
         f.close()
 
     # ---- enumerated subgraphs -------------------------------------------
+    # canonical (sorted) tuple order: the reference's per-rank files are
+    # unordered (parity there is set-equality, SURVEY §7); writing sorted
+    # makes our trees byte-for-byte comparable across engines
     for pl, subs in result.subgraphs.items():
         outs = [
             open(os.path.join(base, "all_ranks_subgraphs", f"subgraphs_{pl}_{r}"), "w")
             for r in range(num_ranks)
         ]
-        for t in subs:
+        for t in sorted(subs):
             # attributed to the owner of the final vertex (where the
             # reference's accepting visitor runs)
             r = int(t[-1]) % num_ranks
