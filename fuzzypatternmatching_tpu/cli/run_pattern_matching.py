@@ -70,8 +70,14 @@ def main(argv=None):
                          "real per-step seconds in result_superstep "
                          "(beta.cpp:592-596); default fuses all supersteps "
                          "into one call and divides its total")
-    from ..utils.dist import add_distributed_args, build_mesh, init_distributed
+    from ..utils.dist import (
+        add_distributed_args,
+        apply_cpu_env,
+        build_mesh,
+        init_distributed,
+    )
 
+    apply_cpu_env()
     add_distributed_args(ap)
     args = ap.parse_args(argv)
 

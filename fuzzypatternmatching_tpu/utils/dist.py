@@ -31,6 +31,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def apply_cpu_env() -> None:
+    """Honor ``FPM_VIRTUAL_CPU_DEVICES`` (set by scripts/
+    launch_multiprocess.py): switch this process to the CPU backend with
+    that many virtual devices. Must run before the first backend use; safe
+    no-op when the variable is absent."""
+    import os
+
+    n = os.environ.get("FPM_VIRTUAL_CPU_DEVICES")
+    if not n:
+        return
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def add_distributed_args(ap) -> None:
     g = ap.add_argument_group("distributed (multi-host)")
     g.add_argument(
