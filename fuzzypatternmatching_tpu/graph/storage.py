@@ -177,6 +177,8 @@ class GraphDb:
         self._rev = []
         self._edata = []
         row_parts, deg_parts, lab_parts = [], [], []
+        from ..utils.page_cache import advise
+
         for r in range(n):
             d = _shard_dir(base, r, n)
             if not os.path.isdir(d):
@@ -187,10 +189,17 @@ class GraphDb:
             self._rev.append(
                 np.load(os.path.join(d, "rev_edge.npy"), mmap_mode="r")
             )
+            # cache_utilities.hpp advice: bulk chunk scans (edge-range
+            # accessors during engine construction) read sequentially;
+            # the OS readahead then prefetches whole shards efficiently.
+            # Point lookups (_at) remain correct either way — advisory only.
+            advise(self._cols[-1], "sequential")
+            advise(self._rev[-1], "sequential")
             if meta["has_edge_data"]:
                 self._edata.append(
                     np.load(os.path.join(d, "edge_data.npy"), mmap_mode="r")
                 )
+                advise(self._edata[-1], "sequential")
             row_parts.append(
                 np.load(os.path.join(d, "row_ptr.npy"))[:-1]
                 + self.edge_starts[r]

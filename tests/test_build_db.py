@@ -128,3 +128,27 @@ def test_log_step_disabled_by_env(tmp_path, capsys, monkeypatch):
     build_rmat_db(str(tmp_path / "db"), scale=8, n_ranks=2, num_shards=2,
                   scramble=False)
     assert "Starting:" not in capsys.readouterr().out
+
+
+def test_page_cache_advise(tmp_path):
+    """cache_utilities.hpp analog: madvise issues cleanly on the open_db
+    memmaps (advisory; returns True on Linux when the call succeeded)."""
+    import numpy as np
+
+    from fuzzypatternmatching_tpu.graph import storage
+    from fuzzypatternmatching_tpu.graph.csr import from_edges
+    from fuzzypatternmatching_tpu.utils.page_cache import advise
+
+    src = np.array([0, 1, 1, 2])
+    dst = np.array([1, 0, 2, 1])
+    g = from_edges(src, dst, num_vertices=3)
+    base = str(tmp_path / "db")
+    storage.save(g, base, num_shards=2)
+    db = storage.open_db(base)
+    assert advise(db._cols[0], "random") is True
+    assert advise(db._cols[0], "sequential") is True
+    # non-memmap arrays are skipped, not crashed
+    assert advise(np.arange(10), "random") is False
+    # and the db still reads correctly after advice
+    assert (db.cols_range(0, db.num_edges) ==
+            g.cols).all()
