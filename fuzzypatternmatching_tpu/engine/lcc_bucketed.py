@@ -72,6 +72,16 @@ class BucketedState:
     # bit-packed alive, produced INSIDE the lcc_call program: alive_pairs
     # then only downloads (no extra pack dispatch through the tunnel)
     packed: jax.Array | None = None
+    # True when this state is the result of the GLOBAL INIT superstep alone
+    # (n_steps=1, no metadata/counting constraints): tv AND the alive pairs
+    # are then exact functions of (labels, graph, live-row set), so tv_host
+    # and alive_pairs REBUILD both on the host from the V-bit live_packed
+    # bitmap instead of pulling the V-sized tv and S-bit alive arrays
+    # through the tunnel (see BucketedLccEngine._recon_tv / _recon_pairs)
+    recon_init: bool = False
+    # bit-packed (tv != 0), produced in-program — the only download the
+    # production init superstep needs (V/8 bytes)
+    live_packed: jax.Array | None = None
 
 
 class BucketedLccEngine:
@@ -196,6 +206,7 @@ class BucketedLccEngine:
         self.opt = jnp.asarray(pattern.edges_bitset_optional, dtype=jnp.uint32)
         self.opt_min = np.asarray(pattern.min_optional_edge_count)
         lab_tv = pattern.label_match_bitset(np.asarray(labels)).astype(np.uint32)
+        self._label_tv_np = lab_tv  # host copy for tv_host reconstruction
         self.label_tv = jnp.asarray(lab_tv)
         self.owner = jnp.asarray(
             np.arange(v, dtype=np.int64) % num_ranks, dtype=jnp.int32
@@ -291,6 +302,91 @@ class BucketedLccEngine:
                 )
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
+
+    def _keep_mask_np(self, tn: np.ndarray) -> np.ndarray:
+        """Host (numpy) mirror of _keep_mask — used by _recon_tv."""
+        mand = np.asarray(self.p.edges_bitset, dtype=np.uint32)
+        opt = np.asarray(self.p.edges_bitset_optional, dtype=np.uint32)
+        keep = np.zeros_like(tn)
+        for i in range(self.k):
+            ok = (mand[i] & ~tn) == 0
+            if self.opt_min[i] > 0:
+                t = opt[i] & tn
+                ok = ok & (t == opt[i]) & (
+                    np.bitwise_count(t) >= np.uint32(self.opt_min[i])
+                )
+            keep = keep | np.where(ok, np.uint32(1 << i), np.uint32(0))
+        return keep
+
+    def _or_over_bits_np(self, tv: np.ndarray) -> np.ndarray:
+        """Host (numpy) mirror of _or_over_bits."""
+        adj_all = np.asarray(self.p.edges_bitset_all, dtype=np.uint32)
+        m = np.zeros_like(tv)
+        for i in range(self.k):
+            m = m | np.where((tv >> i) & 1 != 0, adj_all[i], np.uint32(0))
+        return m
+
+    def _recon_pairs(self, state: "BucketedState"):
+        """Rebuild the alive (row, col) pairs after the global init
+        superstep from the V-bit live-row bitmap.
+
+        At init a slot (v, u) is alive iff its row v survived AND the slot
+        was accepted, and acceptance is a pure function of the labels:
+        accept = (label_tv[u] & or_over_bits(label_tv[v])) != 0. Walking
+        the surviving rows' CSR ranges on the host therefore reproduces the
+        device's alive set exactly (CSR order within each row — the
+        alive_pairs contract) with only the V/8-byte live bitmap crossing
+        the tunnel instead of the S-bit slot bitmap. Returns None when the
+        surviving adjacency is too large for a cheap host pass (caller then
+        falls back to the packed download).
+        """
+        live = np.unpackbits(
+            np.asarray(state.live_packed), count=self.num_vertices
+        ).view(bool)
+        rows = np.nonzero(live)[0]
+        if len(rows) == 0:
+            e = np.empty(0, np.int64)
+            return e, e
+        rp = self.graph.row_ptr
+        starts = rp[rows].astype(np.int64)
+        lens = (rp[rows + 1] - rp[rows]).astype(np.int64)
+        total = int(lens.sum())
+        if total > max(self.graph.num_edges // 8, 1 << 22):
+            return None  # weak pruning: the S-bit download is cheaper
+        csum = np.cumsum(lens)
+        idx = np.arange(total, dtype=np.int64) + np.repeat(
+            starts - np.concatenate(([0], csum[:-1])), lens
+        )
+        cols = self.graph.cols[idx].astype(np.int64)
+        pb = self._label_tv_np[cols]
+        am = self._or_over_bits_np(self._label_tv_np[rows])
+        acc = (pb & np.repeat(am, lens)) != 0
+        return np.repeat(rows.astype(np.int64), lens)[acc], cols[acc]
+
+    def _recon_tv(self, state: "BucketedState") -> np.ndarray:
+        """Rebuild tv after the global init superstep from alive pairs.
+
+        Valid because, at init, every quantity the acceptance rule needs is
+        a function of the labels and the surviving slots: (a) the per-slot
+        message is the sender's label bitset (tv == label_tv at init), and
+        (b) a slot is alive iff it was accepted AND its row survived, while
+        a row survives iff it had >=1 accepted slot and a nonzero keep mask
+        — so for every surviving vertex tn(v) = OR of label_tv[col] over
+        its alive slots, and tv(v) = label_tv[v] & keep_mask(tn(v)); for
+        every other vertex tv(v) = 0. Saves the V-sized device pull on the
+        production search path (only the packed alive bitmap crosses).
+        Requires: no edge-metadata / counting constraints (checked by the
+        recon_init flag set in lcc_call).
+        """
+        arow, acol = self.alive_pairs(state)
+        lab = self._label_tv_np
+        tv = np.zeros(self.num_vertices, dtype=np.uint32)
+        if len(arow) == 0:
+            return tv
+        uniq, starts = np.unique(arow, return_index=True)  # arow is sorted
+        tn = np.bitwise_or.reduceat(lab[acol], starts)
+        tv[uniq] = lab[uniq] & self._keep_mask_np(tn)
+        return tv
 
     def _keep_mask_per_i(self, tn_list):
         """Acceptance with a SEPARATE tn per receiver bit (metadata mode)."""
@@ -579,9 +675,29 @@ class BucketedLccEngine:
             )
         else:
             st_scan = None
+        # pack every superstep's counters into ONE int32 matrix
+        # [steps, 3R+1] (av | ae | msg | died): the caller downloads a
+        # single buffer instead of 3-4 per-array pulls through the tunnel
+        rows_parts = [
+            jnp.concatenate(
+                [av, ae, msg, d.astype(jnp.int32).reshape(1)]
+            )[None, :]
+            for (av, ae, msg, d) in stats_list
+        ]
+        if st_scan is not None:
+            av_s, ae_s, msg_s, died_s = st_scan
+            rows_parts.append(
+                jnp.concatenate(
+                    [av_s, ae_s, msg_s, died_s.astype(jnp.int32)[:, None]],
+                    axis=1,
+                )
+            )
+        stats = jnp.concatenate(rows_parts, axis=0)
         # pack the final alive bitmap in-program: the caller's alive_pairs
-        # becomes a pure download instead of a second dispatch round trip
-        return tv, alive, flag, jnp.packbits(alive), stats_list, st_scan
+        # becomes a pure download instead of a second dispatch round trip.
+        # live rows (tv != 0) packed too: after an init call that V/8-byte
+        # bitmap is the ONLY transfer the host reconstruction path needs.
+        return tv, alive, flag, jnp.packbits(alive), jnp.packbits(tv != 0), stats
 
     def init_state(self) -> BucketedState:
         return BucketedState(
@@ -621,6 +737,9 @@ class BucketedLccEngine:
     def tv_host(self, state: BucketedState) -> np.ndarray:
         if state.tv_np is not None:
             return state.tv_np
+        if state.recon_init:
+            state.tv_np = self._recon_tv(state)
+            return state.tv_np
         return np.asarray(state.tv)
 
     def alive_pairs(self, state: BucketedState):
@@ -637,6 +756,11 @@ class BucketedLccEngine:
                 self.graph.cols[eids].astype(np.int64),
             )
             return state.pairs_cache
+        if state.recon_init and state.live_packed is not None:
+            pairs = self._recon_pairs(state)
+            if pairs is not None:
+                state.pairs_cache = pairs
+                return pairs
         packed = np.asarray(
             state.packed if state.packed is not None else self._pack(state.alive)
         )
@@ -753,17 +877,16 @@ class BucketedLccEngine:
             consts["meta"] = self._meta_dev
         if self._class_dev is not None:
             consts["cls"] = self._class_dev
-        tv, alive, flag, packed, head, st_scan = call(
+        tv, alive, flag, packed, live_packed, stats = call(
             state.tv, state.alive, state.tp_flag, self._dev, consts
         )
+        st = np.asarray(stats)  # one D2H pull for the whole call's counters
+        rr = self.num_ranks
         rows = []
-        any_died = False
-
-        def emit(av_r, ae_r, msg_r, d):
-            nonlocal any_died
-            av_r = np.asarray(av_r)
-            ae_r = np.asarray(ae_r)
-            msg_r = np.asarray(msg_r)
+        for r in st:
+            av_r = r[0:rr].copy()
+            ae_r = r[rr : 2 * rr].copy()
+            msg_r = r[2 * rr : 3 * rr].copy()
             rows.append(
                 (
                     int(av_r.sum()),
@@ -772,12 +895,13 @@ class BucketedLccEngine:
                     {"av": av_r, "ae": ae_r, "msg": msg_r},
                 )
             )
-            any_died = any_died or bool(d)
-
-        for st in head:
-            emit(*st)
-        if st_scan is not None:
-            av_s, ae_s, msg_s, died_s = (np.asarray(x) for x in st_scan)
-            for i in range(av_s.shape[0]):
-                emit(av_s[i], ae_s[i], msg_s[i], died_s[i])
-        return BucketedState(tv, alive, flag, packed=packed), rows, any_died
+        any_died = bool((st[:, -1] != 0).any())
+        out = BucketedState(tv, alive, flag, packed=packed,
+                            live_packed=live_packed)
+        out.recon_init = (
+            global_init_step
+            and n_steps == 1
+            and self.meta_allow is None
+            and not self.counting
+        )
+        return out, rows, any_died

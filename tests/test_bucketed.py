@@ -94,3 +94,47 @@ def test_bucketed_split_hub(tmp_path):
     tv2, alive2 = ell.state_to_global(st2)
     assert np.array_equal(np.asarray(st1.tv), tv2)
     assert np.array_equal(np.asarray(st1.edge_alive), alive2)
+
+
+def test_init_tv_host_reconstruction(tmp_path):
+    # After the global init superstep (n_steps=1), tv_host must REBUILD tv
+    # on the host from alive pairs + labels (recon_init fast path) and match
+    # the device array bit-for-bit — incl. split hubs and fuzzy
+    # optional-edge acceptance.
+    from test_fuzzy import write_fuzzy_pattern
+
+    (tmp_path / "t").mkdir()
+    (tmp_path / "f").mkdir()
+    tree = load_pattern_graph(write_tree_pattern(tmp_path / "t"))
+    fuzzy = load_pattern_graph(
+        write_fuzzy_pattern(tmp_path / "f", require_optional=True)
+    )
+    gr = _rmat(10)
+    src, dst = grid_graph(9, 7)
+    gg = from_edges(src, dst)
+    cases = [
+        (gr, degree_labels(gr), tree, {}),
+        (gg, degree_labels(gg), tree, {}),
+        # split hubs: degree-40 star with a tiny max_width
+        (gr, degree_labels(gr), tree, {"min_width": 4, "max_width": 8}),
+        (gr, np.minimum(degree_labels(gr), 3), fuzzy, {}),
+    ]
+    for g, labels, pattern, kw in cases:
+        ell = BucketedLccEngine(g, labels, pattern, **kw)
+        st, _rows, _d = ell.lcc_call(ell.init_state(), True, n_steps=1)
+        assert st.recon_init
+        assert st.tv_np is None
+        recon = ell.tv_host(st)
+        assert np.array_equal(recon, np.asarray(st.tv))
+        # alive pairs rebuilt from the live-row bitmap == device alive set
+        from fuzzypatternmatching_tpu.engine.lcc_bucketed import BucketedState
+
+        got = ell.alive_pairs(st)
+        ref = ell.alive_pairs(
+            BucketedState(st.tv, st.alive, st.tp_flag, packed=st.packed)
+        )
+        assert np.array_equal(got[0], ref[0])
+        assert np.array_equal(got[1], ref[1])
+        # multi-step and continuation calls must NOT claim reconstructable
+        st2, _r, _d = ell.lcc_call(st, False, n_steps=2)
+        assert not st2.recon_init
