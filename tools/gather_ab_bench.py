@@ -160,7 +160,7 @@ def main():
     out, init_times = time_call(
         eng_p._get_call(True, 1), (s0.tv, s0.alive, s0.tp_flag, eng_p._dev, consts_p)
     )
-    av = int(np.asarray(out[4][0][0]).sum())
+    av = int(np.asarray(out[5])[0, 0])  # stats matrix row 0, av col (R=1)
     log(f"[production init] first {time.time()-t0:.1f}s (incl. compile), "
         f"best {min(init_times):.3f}s, av={av}")
     results["production_init"] = {
@@ -199,14 +199,14 @@ def main():
             reps=1,
         )
         tv1, alive1, flag1 = out[0], out[1], out[2]
-        av = int(np.asarray(out[4][0][0]).sum())
+        av = int(np.asarray(out[5])[0, 0])
         nz = int((g.raw_degree > 0).sum())
         assert av == nz, f"uniform pattern pruned? av={av}, non-isolated={nz}"
         t0 = time.time()
         out_s, scan_times = time_call(
             shared["scan"], (tv1, alive1, flag1, eng._dev, consts)
         )
-        msgs = int(np.asarray(out_s[5][2]).sum())
+        msgs = int(np.asarray(out_s[5])[:, 2].sum())
         best = min(scan_times)
         log(f"[{name}] scan({STEPS}): first {time.time()-t0:.1f}s, best "
             f"{best:.3f}s -> {best/STEPS*1e3:.1f} ms/superstep, msgs={msgs}")
