@@ -56,6 +56,12 @@ class ShardedState:
     # host copy of tv when it was uploaded from the host (avoids an
     # immediate V-sized download through the device tunnel)
     tv_np: np.ndarray | None = None
+    # compact transfer mirrors produced INSIDE the lcc_call program:
+    # per-shard bit-packed alive flags (E/8 bytes instead of E bool bytes)
+    # and uint16 tv (template bitsets fit 16 bits) — device->host traffic
+    # for a phase crossing drops 8x / 2x on a pod, more through a tunnel
+    packed: jax.Array | None = None
+    tv16: jax.Array | None = None
 
 
 class ShardedLccEngine:
@@ -350,7 +356,19 @@ class ShardedLccEngine:
                     (tv, alive, flag), st_scan = jax.lax.scan(
                         body, (tv, alive, flag), None, length=n_steps
                     )
-                return tv, alive, flag, head, st_scan
+                # compact transfer mirrors (see ShardedState.packed/tv16):
+                # packed per shard so the host pulls E/8 + 2V bytes per
+                # phase crossing instead of E + 4V
+                packed, tv16 = jax.shard_map(
+                    lambda a, t: (
+                        jnp.packbits(a.reshape(-1))[None],
+                        t.reshape(-1).astype(jnp.uint16)[None],
+                    ),
+                    mesh=mesh,
+                    in_specs=(sh, sh),
+                    out_specs=(sh, sh),
+                )(alive, tv)
+                return tv, alive, flag, packed, tv16, head, st_scan
 
             return jax.jit(call)
 
@@ -655,12 +673,21 @@ class ShardedLccEngine:
             ),
         )
 
-    def state_to_global(self, state: ShardedState):
-        tv = np.asarray(state.tv).reshape(-1)[: self.graph.num_vertices]
-        alive = np.asarray(state.edge_alive).reshape(-1)[
+    def _alive_host(self, state: ShardedState) -> np.ndarray:
+        if state.packed is not None:
+            # count=ec: each shard packs ec bits into ceil(ec/8) bytes, so
+            # the row-trailing pad bits must be dropped before flattening
+            return (
+                np.unpackbits(np.asarray(state.packed), axis=1, count=self.ec)
+                .reshape(-1)[: self.graph.num_edges]
+                .view(bool)
+            )
+        return np.asarray(state.edge_alive).reshape(-1)[
             : self.graph.num_edges
         ]
-        return tv, alive
+
+    def state_to_global(self, state: ShardedState):
+        return self.tv_host(state).copy(), self._alive_host(state)
 
     # -- slot-space fast path (avoids all E-sized host remaps) -------------
     # Same protocol as BucketedLccEngine: the driver moves only tv (V-sized)
@@ -669,6 +696,12 @@ class ShardedLccEngine:
     def tv_host(self, state: ShardedState) -> np.ndarray:
         if state.tv_np is not None:
             return state.tv_np
+        if state.tv16 is not None:
+            return (
+                np.asarray(state.tv16)
+                .reshape(-1)[: self.graph.num_vertices]
+                .astype(np.uint32)
+            )
         return np.asarray(state.tv).reshape(-1)[: self.graph.num_vertices]
 
     def alive_pairs(self, state: ShardedState):
@@ -676,8 +709,7 @@ class ShardedLccEngine:
         are contiguous CSR slices, so flat order IS row order)."""
         if state.pairs_cache is not None:
             return state.pairs_cache[:2]
-        al = np.asarray(state.edge_alive).reshape(-1)[: self.graph.num_edges]
-        ids = np.nonzero(al)[0]
+        ids = np.nonzero(self._alive_host(state))[0]
         state.pairs_cache = (
             self.graph.edge_row_at(ids).astype(np.int64),
             self.graph.cols_at(ids).astype(np.int64),
@@ -727,6 +759,7 @@ class ShardedLccEngine:
             edge_alive=state.edge_alive,
             tp_flag=flag,
             pairs_cache=state.pairs_cache,  # alive unchanged
+            packed=state.packed,  # alive unchanged: packed mirror stays valid
             tv_np=tv.astype(np.uint32),  # astype always copies (no aliasing)
         )
 
@@ -742,7 +775,7 @@ class ShardedLccEngine:
         key = (global_init_step, n_steps)
         if key not in self._call_cache:
             self._call_cache[key] = self._make_call(global_init_step, n_steps)
-        tv, alive, flag, head, st_scan = self._call_cache[key](
+        tv, alive, flag, packed, tv16, head, st_scan = self._call_cache[key](
             tv, alive, flag, self._ops
         )
         rows = []
@@ -769,4 +802,8 @@ class ShardedLccEngine:
             av_s, ae_s, msg_s, died_s = (np.asarray(x) for x in st_scan)
             for i in range(av_s.shape[0]):
                 emit(av_s[i], ae_s[i], msg_s[i], died_s[i])
-        return ShardedState(tv, alive, flag), rows, any_died
+        return (
+            ShardedState(tv, alive, flag, packed=packed, tv16=tv16),
+            rows,
+            any_died,
+        )
