@@ -51,6 +51,7 @@ class MatchEngine:
         counting: bool = False,
         lcc_pallas: bool = False,
         edge_data: np.ndarray | None = None,
+        compact: bool = True,
     ):
         self.graph = graph
         self.labels = np.asarray(labels, dtype=np.uint64)
@@ -135,6 +136,20 @@ class MatchEngine:
                 | (pattern.min_optional_edge_count > 0)
             )
         )
+        # engines whose states support the compact continuation (slot-space
+        # fast path + lazy host states). The mesh plane qualifies only over
+        # a materialized Graph (the closure/sub-engine rebuild needs full
+        # edge_row/cols arrays, which a lazily-opened GraphDb lacks).
+        # ``compact=False`` forces full-graph supersteps on the primary
+        # engine every call — used by the multichip dryrun and the halo
+        # -plane benchmark to exercise the full mesh data plane.
+        self._compact_engine = compact and (
+            isinstance(self.lcc, BucketedLccEngine)
+            or (
+                type(self.lcc).__name__ == "ShardedLccEngine"
+                and isinstance(graph, Graph)
+            )
+        )
         self._sub_cache: tuple | None = None  # (fingerprint, engine)
 
     def _edge_index(self, v: int, u: int) -> int:
@@ -177,10 +192,7 @@ class MatchEngine:
             return state, died_any
 
         compactable = (
-            allow_compact
-            and self._compact_ok
-            and hasattr(self.lcc, "alive_pairs")
-            and isinstance(self.lcc, BucketedLccEngine)
+            allow_compact and self._compact_ok and self._compact_engine
         )
         if not compactable:
             t0 = time.perf_counter()
@@ -373,7 +385,7 @@ class MatchEngine:
         keys = arow.astype(np.uint64) * np.uint64(self.graph.num_vertices) + acol.astype(np.uint64)
         pos = np.searchsorted(edge_keys, keys)
         eids = pos[edge_keys[np.minimum(pos, len(edge_keys) - 1)] == keys]
-        if isinstance(self.lcc, BucketedLccEngine):
+        if self._compact_engine:
             return self.lcc.state_from_edge_ids(tv, eids, lazy=True)
         return self.lcc.state_from_edge_ids(tv, eids)
 

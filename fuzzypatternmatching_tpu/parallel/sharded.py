@@ -62,6 +62,13 @@ class ShardedState:
     # for a phase crossing drops 8x / 2x on a pod, more through a tunnel
     packed: jax.Array | None = None
     tv16: jax.Array | None = None
+    # LAZY representation (mirror of BucketedState): once the driver's
+    # compact continuation lives on the pruned subgraph, the state is pure
+    # host data (tv_np + original edge ids) and no device upload happens
+    # unless a full mesh lcc_call actually consumes it (tv/edge_alive/
+    # tp_flag above are None then)
+    lazy_edge_ids: np.ndarray | None = None
+    lazy_flag_ids: np.ndarray | None = None
 
 
 class ShardedLccEngine:
@@ -674,6 +681,10 @@ class ShardedLccEngine:
         )
 
     def _alive_host(self, state: ShardedState) -> np.ndarray:
+        if state.edge_alive is None:  # lazy: edge ids ARE the alive set
+            alive = np.zeros(self.graph.num_edges, dtype=bool)
+            alive[state.lazy_edge_ids] = True
+            return alive
         if state.packed is not None:
             # count=ec: each shard packs ec bits into ceil(ec/8) bytes, so
             # the row-trailing pad bits must be dropped before flattening
@@ -709,7 +720,12 @@ class ShardedLccEngine:
         are contiguous CSR slices, so flat order IS row order)."""
         if state.pairs_cache is not None:
             return state.pairs_cache[:2]
-        ids = np.nonzero(self._alive_host(state))[0]
+        if state.edge_alive is None:
+            # lazy state: sorted edge ids ARE the pairs (ascending ids ==
+            # CSR row-major order) — zero device traffic
+            ids = state.lazy_edge_ids
+        else:
+            ids = np.nonzero(self._alive_host(state))[0]
         state.pairs_cache = (
             self.graph.edge_row_at(ids).astype(np.int64),
             self.graph.cols_at(ids).astype(np.int64),
@@ -724,8 +740,18 @@ class ShardedLccEngine:
         return state.pairs_cache[2]
 
     def state_from_edge_ids(
-        self, tv: np.ndarray, edge_ids: np.ndarray, flag_ids=None
+        self, tv: np.ndarray, edge_ids: np.ndarray, flag_ids=None,
+        lazy: bool = False,
     ) -> ShardedState:
+        if lazy:
+            return ShardedState(
+                tv=None, edge_alive=None, tp_flag=None,
+                tv_np=tv.astype(np.uint32),
+                lazy_edge_ids=np.sort(np.asarray(edge_ids, dtype=np.int64)),
+                lazy_flag_ids=None
+                if flag_ids is None
+                else np.asarray(flag_ids, dtype=np.int64),
+            )
         al = np.zeros(self.n * self.ec, dtype=bool)
         al[edge_ids] = True  # chunk layout == flat CSR order
         fl = np.zeros(self.n * self.ec, dtype=bool)
@@ -743,8 +769,35 @@ class ShardedLccEngine:
             tv_np=tv.astype(np.uint32),
         )
 
+    def _materialize(self, state: ShardedState) -> ShardedState:
+        """Device arrays for a lazy state (no-op otherwise)."""
+        if state.edge_alive is not None:
+            return state
+        s = self.state_from_edge_ids(
+            state.tv_np, state.lazy_edge_ids, flag_ids=state.lazy_flag_ids
+        )
+        s.pairs_cache = state.pairs_cache
+        return s
+
     def with_updates(self, state: ShardedState, tv: np.ndarray, tp_marks):
         """Replace tv and set token-passing success marks (slot flags)."""
+        if state.edge_alive is None:
+            prev = (
+                state.lazy_flag_ids
+                if state.lazy_flag_ids is not None
+                else np.empty(0, dtype=np.int64)
+            )
+            return ShardedState(
+                tv=None, edge_alive=None, tp_flag=None,
+                tv_np=tv.astype(np.uint32),
+                pairs_cache=state.pairs_cache,
+                lazy_edge_ids=state.lazy_edge_ids,
+                lazy_flag_ids=np.union1d(
+                    prev, np.asarray(list(tp_marks), dtype=np.int64)
+                )
+                if tp_marks
+                else prev,
+            )
         shard2 = NamedSharding(self.mesh, P("x", None))
         flag = state.tp_flag
         if tp_marks:
@@ -769,6 +822,7 @@ class ShardedLccEngine:
     ):
         if n_steps is None:
             n_steps = self.p.diameter
+        state = self._materialize(state)
         tv, alive, flag = state.tv, state.edge_alive, state.tp_flag
         if global_init_step:
             tv = self.label_tv

@@ -282,3 +282,24 @@ def test_overflow_past_cap_raises_and_driver_falls_back(tmp_path):
     eng._dev_nlcc.MAX_CAP_DOUBLINGS = 0
     mesh_r = eng.run()
     _results_equal(host_r, mesh_r)
+
+
+def test_driver_mesh_compact_continuation_matches_full_plane():
+    # The driver's compact continuation (lazy host states + CPU sub-engine)
+    # now covers the mesh engine too; rows, sets, and subgraphs must be
+    # identical between compact (default), forced full-plane
+    # (compact=False), and the host engine.
+    g = _random_graph(11, v=48, e=160)
+    rng = np.random.RandomState(111)
+    labels = rng.randint(1, 4, size=48).astype(np.uint64)
+    for pattern, cs in (
+        (TRI_PATTERN, [cycle_constraint()]),
+        (PATH_PATTERN, [path_constraint(), tds_constraint()]),
+    ):
+        host_r = MatchEngine(g, labels, pattern, cs, nlcc_mode="host").run()
+        for compact in (True, False):
+            mesh_r = MatchEngine(
+                g, labels, pattern, cs, lcc_engine="sharded", mesh=_mesh(8),
+                nlcc_mode="device", compact=compact,
+            ).run()
+            _results_equal(host_r, mesh_r)
