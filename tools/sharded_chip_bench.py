@@ -54,43 +54,53 @@ def main():
     mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
     log(f"V={g.num_vertices} E={g.num_edges}; device={jax.devices()[0]}")
 
-    t0 = time.time()
-    engine = MatchEngine(
-        g, labels, pattern, constraints, lcc_engine="sharded", mesh=mesh,
-    )
-    log(f"engine built in {time.time()-t0:.0f}s; warm-up (compile)...")
-    t0 = time.time()
-    r = engine.run()
-    log(
-        f"warm-up {time.time()-t0:.1f}s: iterations={r.iterations} "
-        f"active={len(r.active_vertices)} traversed={r.traversed_edges} "
-        f"subgraphs={sum(len(v) for v in r.subgraphs.values())}"
-    )
-    times = []
-    for i in range(3):
-        t0 = time.time()
-        r = engine.run()
-        times.append(time.time() - t0)
-        log(f"measured run {i}: {times[-1]:.2f}s")
-    dt = min(times)
-    eps = r.traversed_edges / dt
-    lp_s = sum(row.seconds for row in r.rows if row.phase == "LP")
-    tp_s = sum(row.seconds for row in r.rows if row.phase == "TP")
     out = {
         "metric": f"sharded-engine (n=1 mesh) full search, R-MAT s{scale} "
                   "tree pattern, one real chip",
-        "best_seconds": round(dt, 3),
-        "times": [round(t, 3) for t in times],
-        "traversed_edges": r.traversed_edges,
-        "edges_per_sec": round(eps, 1),
-        "lp_seconds": round(lp_s, 3),
-        "tp_seconds": round(tp_s, 3),
-        "active_vertices": len(r.active_vertices),
-        "subgraphs": sum(len(v) for v in r.subgraphs.values()),
-        "note": "compare BENCH_r02/bench.py (bucketed engine, same "
-                "workload): the ratio is the halo plane's single-chip "
-                "constant factor",
+        "modes": {},
+        "note": "full_plane (compact=False) keeps every superstep on the "
+                "halo-exchange data plane — its per-call cost vs bench.py "
+                "(bucketed engine, same workload) is the halo plane's "
+                "single-chip constant factor. compact (default) is the "
+                "user-facing mesh end-to-end: first superstep on the mesh, "
+                "continuation on the pruned-subgraph sub-engine.",
     }
+    for mode, kw in (("full_plane", {"compact": False}), ("compact", {})):
+        t0 = time.time()
+        engine = MatchEngine(
+            g, labels, pattern, constraints, lcc_engine="sharded",
+            mesh=mesh, **kw,
+        )
+        log(f"[{mode}] engine built in {time.time()-t0:.0f}s; "
+            "warm-up (compile)...")
+        t0 = time.time()
+        r = engine.run()
+        log(
+            f"[{mode}] warm-up {time.time()-t0:.1f}s: "
+            f"iterations={r.iterations} active={len(r.active_vertices)} "
+            f"traversed={r.traversed_edges} "
+            f"subgraphs={sum(len(v) for v in r.subgraphs.values())}"
+        )
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            r = engine.run()
+            times.append(time.time() - t0)
+            log(f"[{mode}] measured run {i}: {times[-1]:.2f}s")
+        dt = min(times)
+        lp_s = sum(row.seconds for row in r.rows if row.phase == "LP")
+        tp_s = sum(row.seconds for row in r.rows if row.phase == "TP")
+        out["modes"][mode] = {
+            "best_seconds": round(dt, 3),
+            "times": [round(t, 3) for t in times],
+            "traversed_edges": r.traversed_edges,
+            "edges_per_sec": round(r.traversed_edges / dt, 1),
+            "lp_seconds": round(lp_s, 3),
+            "tp_seconds": round(tp_s, 3),
+            "active_vertices": len(r.active_vertices),
+            "subgraphs": sum(len(v) for v in r.subgraphs.values()),
+        }
+        del engine
     with open(os.path.join(REPO, "BENCH_SHARDED_CHIP.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
