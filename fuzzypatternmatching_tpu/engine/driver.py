@@ -368,6 +368,15 @@ class MatchEngine:
                 acsr, self.labels, tv, c, self.graph.num_vertices, **hkw
             )
 
+    def _owner_cached(self) -> np.ndarray:
+        """Cyclic output-rank owner per vertex (id % R) — built once."""
+        if getattr(self, "_owner", None) is None:
+            self._owner = (
+                np.arange(self.graph.num_vertices, dtype=np.int64)
+                % self.num_ranks
+            )
+        return self._owner
+
     def _edge_keys_cached(self) -> np.ndarray:
         """Sorted (row*V + col) keys — built lazily, only on the bucketed
         compact path (which always holds a materialized Graph)."""
@@ -543,7 +552,7 @@ class MatchEngine:
                         ae_mask = alive & live[g.edge_row]
                         ae = int(ae_mask.sum())
                         ae_rows = g.edge_row[np.nonzero(ae_mask)[0]]
-                    owner = np.arange(g.num_vertices, dtype=np.int64) % self.num_ranks
+                    owner = self._owner_cached()
                     per_rank = {
                         "av": np.bincount(
                             owner[live], minlength=self.num_ranks
