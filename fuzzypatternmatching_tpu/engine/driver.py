@@ -94,6 +94,10 @@ class MatchEngine:
                 graph, self.labels, pattern, mesh=mesh, num_ranks=num_ranks,
                 edge_meta=em, counting=counting,
             )
+            # the mesh plane compacts only over a materialized Graph: the
+            # closure/sub-engine rebuild needs full edge_row/cols arrays,
+            # which a lazily-opened GraphDb lacks
+            compact_capable = isinstance(graph, Graph)
         else:
             if not isinstance(graph, Graph):
                 raise TypeError(
@@ -105,11 +109,13 @@ class MatchEngine:
                     graph, self.labels, pattern, num_ranks=num_ranks,
                     use_pallas=lcc_pallas, edge_meta=em, counting=counting,
                 )
+                compact_capable = True
             else:
                 self.lcc = LccEngine(
                     graph, self.labels, pattern, num_ranks=num_ranks,
                     counting=counting, edge_meta=em,
                 )
+                compact_capable = False  # flat engine has no slot fast path
         # NLCC accelerator engine: on a mesh the token walks run distributed
         # (parallel/nlcc_sharded.py: all_to_all routing + shard-local dedup);
         # single-device runs use the one-chip frontier programs
@@ -137,19 +143,11 @@ class MatchEngine:
             )
         )
         # engines whose states support the compact continuation (slot-space
-        # fast path + lazy host states). The mesh plane qualifies only over
-        # a materialized Graph (the closure/sub-engine rebuild needs full
-        # edge_row/cols arrays, which a lazily-opened GraphDb lacks).
+        # fast path + lazy host states), per the construction branch above.
         # ``compact=False`` forces full-graph supersteps on the primary
         # engine every call — used by the multichip dryrun and the halo
         # -plane benchmark to exercise the full mesh data plane.
-        self._compact_engine = compact and (
-            isinstance(self.lcc, BucketedLccEngine)
-            or (
-                type(self.lcc).__name__ == "ShardedLccEngine"
-                and isinstance(graph, Graph)
-            )
-        )
+        self._compact_engine = compact and compact_capable
         self._sub_cache: tuple | None = None  # (fingerprint, engine)
 
     def _edge_index(self, v: int, u: int) -> int:
@@ -378,8 +376,9 @@ class MatchEngine:
         return self._owner
 
     def _edge_keys_cached(self) -> np.ndarray:
-        """Sorted (row*V + col) keys — built lazily, only on the bucketed
-        compact path (which always holds a materialized Graph)."""
+        """Sorted (row*V + col) keys — built lazily, only on the compact
+        path (bucketed or mesh engine; _compact_engine guarantees a
+        materialized Graph with full edge_row/cols arrays)."""
         if getattr(self, "_edge_keys", None) is None:
             self._edge_keys = self.graph.edge_row.astype(np.uint64) * np.uint64(
                 self.graph.num_vertices

@@ -303,6 +303,18 @@ class BucketedLccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
+    @staticmethod
+    def _popcount_np(x: np.ndarray) -> np.ndarray:
+        """uint32 population count (np.bitwise_count is numpy>=2-only)."""
+        if hasattr(np, "bitwise_count"):
+            return np.bitwise_count(x)
+        x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
+        x = (x & np.uint32(0x33333333)) + (
+            (x >> np.uint32(2)) & np.uint32(0x33333333)
+        )
+        x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+        return (x * np.uint32(0x01010101)) >> np.uint32(24)
+
     def _keep_mask_np(self, tn: np.ndarray) -> np.ndarray:
         """Host (numpy) mirror of _keep_mask — used by _recon_tv."""
         mand = np.asarray(self.p.edges_bitset, dtype=np.uint32)
@@ -313,7 +325,7 @@ class BucketedLccEngine:
             if self.opt_min[i] > 0:
                 t = opt[i] & tn
                 ok = ok & (t == opt[i]) & (
-                    np.bitwise_count(t) >= np.uint32(self.opt_min[i])
+                    self._popcount_np(t) >= np.uint32(self.opt_min[i])
                 )
             keep = keep | np.where(ok, np.uint32(1 << i), np.uint32(0))
         return keep
@@ -787,15 +799,15 @@ class BucketedLccEngine:
         the driver's compact continuation carry marks into the subgraph).
         ``lazy=True`` keeps the state host-side (see BucketedState): no
         device upload happens unless a full lcc_call consumes it."""
-        eids = np.sort(np.asarray(edge_ids, dtype=np.int64))
+        from .lazy_state import normalized_edge_ids, normalized_flag_ids
+
+        eids = normalized_edge_ids(edge_ids)
         tv32 = tv.astype(np.uint32)
         if lazy:
             return BucketedState(
                 tv=None, alive=None, tp_flag=None, tv_np=tv32,
                 lazy_edge_ids=eids,
-                lazy_flag_ids=None
-                if flag_ids is None
-                else np.asarray(flag_ids, dtype=np.int64),
+                lazy_flag_ids=normalized_flag_ids(flag_ids),
             )
         al = np.zeros(self.num_slots + 1, dtype=bool)
         al[self._edge_to_slot[eids]] = True
@@ -828,20 +840,13 @@ class BucketedLccEngine:
         """Replace tv and set token-passing success marks (slot flags)."""
         tv32 = tv.astype(np.uint32)
         if state.alive is None:
-            prev = (
-                state.lazy_flag_ids
-                if state.lazy_flag_ids is not None
-                else np.empty(0, dtype=np.int64)
-            )
+            from .lazy_state import merged_flag_ids
+
             return BucketedState(
                 tv=None, alive=None, tp_flag=None, tv_np=tv32,
                 pairs_cache=state.pairs_cache,
                 lazy_edge_ids=state.lazy_edge_ids,
-                lazy_flag_ids=np.union1d(
-                    prev, np.asarray(list(tp_marks), dtype=np.int64)
-                )
-                if tp_marks
-                else prev,
+                lazy_flag_ids=merged_flag_ids(state.lazy_flag_ids, tp_marks),
             )
         flag = state.tp_flag
         if tp_marks:

@@ -744,13 +744,16 @@ class ShardedLccEngine:
         lazy: bool = False,
     ) -> ShardedState:
         if lazy:
+            from ..engine.lazy_state import (
+                normalized_edge_ids,
+                normalized_flag_ids,
+            )
+
             return ShardedState(
                 tv=None, edge_alive=None, tp_flag=None,
                 tv_np=tv.astype(np.uint32),
-                lazy_edge_ids=np.sort(np.asarray(edge_ids, dtype=np.int64)),
-                lazy_flag_ids=None
-                if flag_ids is None
-                else np.asarray(flag_ids, dtype=np.int64),
+                lazy_edge_ids=normalized_edge_ids(edge_ids),
+                lazy_flag_ids=normalized_flag_ids(flag_ids),
             )
         al = np.zeros(self.n * self.ec, dtype=bool)
         al[edge_ids] = True  # chunk layout == flat CSR order
@@ -782,21 +785,14 @@ class ShardedLccEngine:
     def with_updates(self, state: ShardedState, tv: np.ndarray, tp_marks):
         """Replace tv and set token-passing success marks (slot flags)."""
         if state.edge_alive is None:
-            prev = (
-                state.lazy_flag_ids
-                if state.lazy_flag_ids is not None
-                else np.empty(0, dtype=np.int64)
-            )
+            from ..engine.lazy_state import merged_flag_ids
+
             return ShardedState(
                 tv=None, edge_alive=None, tp_flag=None,
                 tv_np=tv.astype(np.uint32),
                 pairs_cache=state.pairs_cache,
                 lazy_edge_ids=state.lazy_edge_ids,
-                lazy_flag_ids=np.union1d(
-                    prev, np.asarray(list(tp_marks), dtype=np.int64)
-                )
-                if tp_marks
-                else prev,
+                lazy_flag_ids=merged_flag_ids(state.lazy_flag_ids, tp_marks),
             )
         shard2 = NamedSharding(self.mesh, P("x", None))
         flag = state.tp_flag
