@@ -70,6 +70,11 @@ def main(argv=None):
                          "real per-step seconds in result_superstep "
                          "(beta.cpp:592-596); default fuses all supersteps "
                          "into one call and divides its total")
+    ap.add_argument("--no-compact", action="store_true",
+                    help="disable the compact continuation: run every LCC "
+                         "superstep on the primary (device/mesh) data plane "
+                         "instead of rebuilding a pruned-subgraph sub-engine "
+                         "after the first superstep (results identical)")
     from ..utils.dist import (
         add_distributed_args,
         apply_cpu_env,
@@ -212,7 +217,7 @@ def main(argv=None):
             graph, labels, pattern, constraints, num_ranks=num_ranks,
             source_batch=args.batch, lcc_engine=args.lcc_engine, mesh=mesh,
             superstep_timing=args.superstep_timing, counting=args.counting,
-            edge_data=edge_data,
+            edge_data=edge_data, compact=not args.no_compact,
         )
         result = engine.run(max_iterations=args.max_iterations)
         print(
