@@ -148,7 +148,9 @@ class MatchEngine:
         # engine every call — used by the multichip dryrun and the halo
         # -plane benchmark to exercise the full mesh data plane.
         self._compact_engine = compact and compact_capable
-        self._sub_cache: tuple | None = None  # (fingerprint, engine)
+        # (fp, keys, union, u_rows_uniq, alive_sub_eids, sub, sub_cpu):
+        # the full compact-closure derivation keyed on the exact alive set
+        self._sub_cache: tuple | None = None
 
     def _edge_index(self, v: int, u: int) -> int:
         """Edge slot of (v, u): binary search within v's sorted CSR row
@@ -233,20 +235,28 @@ class MatchEngine:
                 # slots must exist with alive=False
                 vv = np.uint64(self.graph.num_vertices)
                 keys = arow.astype(np.uint64) * vv + acol.astype(np.uint64)
-                rkeys = acol.astype(np.uint64) * vv + arow.astype(np.uint64)
-                union = np.union1d(keys, rkeys)
-                u_row = (union // vv).astype(np.int64)
-                u_col = (union % vv).astype(np.int64)
-                fp = (
-                    len(union),
-                    int(union[0]),
-                    int(union[-1]),
-                    int(union[len(union) // 2]),
-                    int(np.bitwise_xor.reduce(union[:: max(1, len(union) // 64)])),
-                )
-                if self._sub_cache is not None and self._sub_cache[0] == fp:
-                    sub, sub_cpu = self._sub_cache[1], self._sub_cache[2]
+                # cache keyed on the EXACT alive set (cheap fingerprint
+                # pre-filter, then full equality — ~ms): repeated searches
+                # and iterations with an unchanged pruned set skip the
+                # union1d/searchsorted closure work entirely, not just the
+                # engine rebuild
+                fp = (len(keys), int(keys[0]), int(keys[-1]))
+                cache = self._sub_cache
+                if (
+                    cache is not None
+                    and cache[0] == fp
+                    and np.array_equal(keys, cache[1])
+                ):
+                    _, _, union, u_rows_uniq, alive_sub_eids, sub, sub_cpu = (
+                        cache
+                    )
                 else:
+                    rkeys = acol.astype(np.uint64) * vv + arow.astype(
+                        np.uint64
+                    )
+                    union = np.union1d(keys, rkeys)
+                    u_row = (union // vv).astype(np.int64)
+                    u_col = (union % vv).astype(np.int64)
                     sub_cpu = len(union) <= self.SUB_CPU_MAX_EDGES
                     sub_meta = None
                     if self._meta is not None:
@@ -267,11 +277,15 @@ class MatchEngine:
                             num_ranks=self.num_ranks, edge_meta=sub_meta,
                             counting=self.counting,
                         )
-                    self._sub_cache = (fp, sub, sub_cpu)
-                # per-slot aliveness = membership in the original alive set
-                pos = np.searchsorted(keys, union)
-                pos_c = np.minimum(pos, len(keys) - 1)
-                is_alive_edge = keys[pos_c] == union  # per union edge id
+                    # per-slot aliveness = membership in the original set
+                    pos = np.searchsorted(keys, union)
+                    pos_c = np.minimum(pos, len(keys) - 1)
+                    alive_sub_eids = np.nonzero(keys[pos_c] == union)[0]
+                    u_rows_uniq = np.unique(u_row)
+                    self._sub_cache = (
+                        fp, keys, union, u_rows_uniq, alive_sub_eids, sub,
+                        sub_cpu,
+                    )
                 flag_ids = None
                 if tp_mark_eids:
                     # TP success marks, translated into the subgraph's edge
@@ -285,7 +299,7 @@ class MatchEngine:
                     flag_ids = mp_c[union[mp_c] == mk]
                 with self._sub_device_ctx(sub_cpu):
                     sub_state = sub.state_from_edge_ids(
-                        tv, np.nonzero(is_alive_edge)[0], flag_ids=flag_ids
+                        tv, alive_sub_eids, flag_ids=flag_ids
                     )
                     sub_state, r2, d2 = sub.lcc_call(
                         sub_state, False, n_steps=steps_left
@@ -297,9 +311,7 @@ class MatchEngine:
                 # engine would kill it in this call's first superstep and
                 # raise the died flag — account for it here
                 live_v = np.nonzero(tv)[0]
-                if len(live_v) and not np.isin(
-                    live_v, np.unique(u_row)
-                ).all():
+                if len(live_v) and not np.isin(live_v, u_rows_uniq).all():
                     died_any = True
                 with self._sub_device_ctx(sub_cpu):
                     tv2 = sub.tv_host(sub_state)
