@@ -303,102 +303,33 @@ class BucketedLccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
-    @staticmethod
-    def _popcount_np(x: np.ndarray) -> np.ndarray:
-        """uint32 population count (np.bitwise_count is numpy>=2-only)."""
-        if hasattr(np, "bitwise_count"):
-            return np.bitwise_count(x)
-        x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
-        x = (x & np.uint32(0x33333333)) + (
-            (x >> np.uint32(2)) & np.uint32(0x33333333)
-        )
-        x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
-        return (x * np.uint32(0x01010101)) >> np.uint32(24)
-
-    def _keep_mask_np(self, tn: np.ndarray) -> np.ndarray:
-        """Host (numpy) mirror of _keep_mask — used by _recon_tv."""
-        mand = np.asarray(self.p.edges_bitset, dtype=np.uint32)
-        opt = np.asarray(self.p.edges_bitset_optional, dtype=np.uint32)
-        keep = np.zeros_like(tn)
-        for i in range(self.k):
-            ok = (mand[i] & ~tn) == 0
-            if self.opt_min[i] > 0:
-                t = opt[i] & tn
-                ok = ok & (t == opt[i]) & (
-                    self._popcount_np(t) >= np.uint32(self.opt_min[i])
-                )
-            keep = keep | np.where(ok, np.uint32(1 << i), np.uint32(0))
-        return keep
-
-    def _or_over_bits_np(self, tv: np.ndarray) -> np.ndarray:
-        """Host (numpy) mirror of _or_over_bits."""
-        adj_all = np.asarray(self.p.edges_bitset_all, dtype=np.uint32)
-        m = np.zeros_like(tv)
-        for i in range(self.k):
-            m = m | np.where((tv >> i) & 1 != 0, adj_all[i], np.uint32(0))
-        return m
-
     def _recon_pairs(self, state: "BucketedState"):
         """Rebuild the alive (row, col) pairs after the global init
-        superstep from the V-bit live-row bitmap.
+        superstep from the V-bit live-row bitmap (engine/init_recon.py,
+        shared with the mesh plane). Returns None when the surviving
+        adjacency is too large for a cheap host pass (caller then falls
+        back to the packed download)."""
+        from .init_recon import recon_pairs
 
-        At init a slot (v, u) is alive iff its row v survived AND the slot
-        was accepted, and acceptance is a pure function of the labels:
-        accept = (label_tv[u] & or_over_bits(label_tv[v])) != 0. Walking
-        the surviving rows' CSR ranges on the host therefore reproduces the
-        device's alive set exactly (CSR order within each row — the
-        alive_pairs contract) with only the V/8-byte live bitmap crossing
-        the tunnel instead of the S-bit slot bitmap. Returns None when the
-        surviving adjacency is too large for a cheap host pass (caller then
-        falls back to the packed download).
-        """
         live = np.unpackbits(
             np.asarray(state.live_packed), count=self.num_vertices
         ).view(bool)
-        rows = np.nonzero(live)[0]
-        if len(rows) == 0:
-            e = np.empty(0, np.int64)
-            return e, e
-        rp = self.graph.row_ptr
-        starts = rp[rows].astype(np.int64)
-        lens = (rp[rows + 1] - rp[rows]).astype(np.int64)
-        total = int(lens.sum())
-        if total > max(self.graph.num_edges // 8, 1 << 22):
-            return None  # weak pruning: the S-bit download is cheaper
-        csum = np.cumsum(lens)
-        idx = np.arange(total, dtype=np.int64) + np.repeat(
-            starts - np.concatenate(([0], csum[:-1])), lens
-        )
-        cols = self.graph.cols[idx].astype(np.int64)
-        pb = self._label_tv_np[cols]
-        am = self._or_over_bits_np(self._label_tv_np[rows])
-        acc = (pb & np.repeat(am, lens)) != 0
-        return np.repeat(rows.astype(np.int64), lens)[acc], cols[acc]
+        out = recon_pairs(self.graph, self.p, self._label_tv_np, live)
+        return None if out is None else out[:2]
 
     def _recon_tv(self, state: "BucketedState") -> np.ndarray:
-        """Rebuild tv after the global init superstep from alive pairs.
-
-        Valid because, at init, every quantity the acceptance rule needs is
-        a function of the labels and the surviving slots: (a) the per-slot
-        message is the sender's label bitset (tv == label_tv at init), and
-        (b) a slot is alive iff it was accepted AND its row survived, while
-        a row survives iff it had >=1 accepted slot and a nonzero keep mask
-        — so for every surviving vertex tn(v) = OR of label_tv[col] over
-        its alive slots, and tv(v) = label_tv[v] & keep_mask(tn(v)); for
-        every other vertex tv(v) = 0. Saves the V-sized device pull on the
+        """Rebuild tv after the global init superstep from alive pairs
+        (engine/init_recon.py: tv is a pure function of labels + the
+        surviving slots at init). Saves the V-sized device pull on the
         production search path (only the packed alive bitmap crosses).
         Requires: no edge-metadata / counting constraints (checked by the
-        recon_init flag set in lcc_call).
-        """
+        recon_init flag set in lcc_call)."""
+        from .init_recon import recon_tv
+
         arow, acol = self.alive_pairs(state)
-        lab = self._label_tv_np
-        tv = np.zeros(self.num_vertices, dtype=np.uint32)
-        if len(arow) == 0:
-            return tv
-        uniq, starts = np.unique(arow, return_index=True)  # arow is sorted
-        tn = np.bitwise_or.reduceat(lab[acol], starts)
-        tv[uniq] = lab[uniq] & self._keep_mask_np(tn)
-        return tv
+        return recon_tv(
+            self.p, self._label_tv_np, self.num_vertices, arow, acol
+        )
 
     def _keep_mask_per_i(self, tn_list):
         """Acceptance with a SEPARATE tn per receiver bit (metadata mode)."""

@@ -62,6 +62,16 @@ class ShardedState:
     # for a phase crossing drops 8x / 2x on a pod, more through a tunnel
     packed: jax.Array | None = None
     tv16: jax.Array | None = None
+    # per-shard bit-packed live rows (tv != 0), produced in-program: after
+    # a pure init call (recon_init) this V-bit bitmap is the ONLY download
+    # the host reconstruction path needs (engine/init_recon.py) — the
+    # tv16 / packed mirrors above stay on device untouched
+    live_packed: jax.Array | None = None
+    # True when this state is the result of the GLOBAL INIT superstep
+    # alone (n_steps=1, no metadata/counting): tv AND the alive pairs are
+    # then exact functions of (labels, graph, live-row set) and tv_host /
+    # alive_pairs rebuild both on the host from live_packed
+    recon_init: bool = False
     # LAZY representation (mirror of BucketedState): once the driver's
     # compact continuation lives on the pruned subgraph, the state is pure
     # host data (tv_np + original edge ids) and no device upload happens
@@ -241,6 +251,7 @@ class ShardedLccEngine:
             if bits
         ]
         lab_tv = pattern.label_match_bitset(labels).astype(np.uint32)
+        self._label_tv_np = lab_tv  # host copy for init-state reconstruction
         lab_pad = np.zeros(self.vpad, dtype=np.uint32)
         lab_pad[:v] = lab_tv
         # static per-row label bitsets + accept masks for the init superstep
@@ -365,17 +376,20 @@ class ShardedLccEngine:
                     )
                 # compact transfer mirrors (see ShardedState.packed/tv16):
                 # packed per shard so the host pulls E/8 + 2V bytes per
-                # phase crossing instead of E + 4V
-                packed, tv16 = jax.shard_map(
+                # phase crossing instead of E + 4V; live rows (tv != 0)
+                # packed too — after an init call that V/8-byte bitmap is
+                # the ONLY transfer the host reconstruction path needs
+                packed, tv16, live16 = jax.shard_map(
                     lambda a, t: (
                         jnp.packbits(a.reshape(-1))[None],
                         t.reshape(-1).astype(jnp.uint16)[None],
+                        jnp.packbits(t.reshape(-1) != 0)[None],
                     ),
                     mesh=mesh,
                     in_specs=(sh, sh),
-                    out_specs=(sh, sh),
+                    out_specs=(sh, sh, sh),
                 )(alive, tv)
-                return tv, alive, flag, packed, tv16, head, st_scan
+                return tv, alive, flag, packed, tv16, live16, head, st_scan
 
             return jax.jit(call)
 
@@ -704,8 +718,30 @@ class ShardedLccEngine:
     # Same protocol as BucketedLccEngine: the driver moves only tv (V-sized)
     # and the pruned alive set across the host boundary.
 
+    def _live_host(self, state: ShardedState) -> np.ndarray:
+        """V-bit live-row bitmap from the per-shard packed mirror. Each
+        shard packs ``block`` bits (NOT byte-aligned): unpack per row with
+        count=block before flattening, else the row-trailing pad bits
+        shift every later shard."""
+        return (
+            np.unpackbits(
+                np.asarray(state.live_packed), axis=1, count=self.block
+            )
+            .reshape(-1)[: self.graph.num_vertices]
+            .view(bool)
+        )
+
     def tv_host(self, state: ShardedState) -> np.ndarray:
         if state.tv_np is not None:
+            return state.tv_np
+        if state.recon_init and state.live_packed is not None:
+            from ..engine.init_recon import recon_tv
+
+            arow, acol = self.alive_pairs(state)
+            state.tv_np = recon_tv(
+                self.p, self._label_tv_np, self.graph.num_vertices,
+                arow, acol,
+            )
             return state.tv_np
         if state.tv16 is not None:
             return (
@@ -724,6 +760,21 @@ class ShardedLccEngine:
             # lazy state: sorted edge ids ARE the pairs (ascending ids ==
             # CSR row-major order) — zero device traffic
             ids = state.lazy_edge_ids
+        elif state.recon_init and state.live_packed is not None:
+            # post-init reconstruction: only the V-bit live bitmap crosses
+            # (engine/init_recon.py); chunk layout == flat CSR order, so
+            # the reconstructed edge ids satisfy the alive_edge_ids
+            # contract directly
+            from ..engine.init_recon import recon_pairs
+
+            out = recon_pairs(
+                self.graph, self.p, self._label_tv_np,
+                self._live_host(state),
+            )
+            if out is not None:
+                state.pairs_cache = out
+                return state.pairs_cache[:2]
+            ids = np.nonzero(self._alive_host(state))[0]
         else:
             ids = np.nonzero(self._alive_host(state))[0]
         state.pairs_cache = (
@@ -825,8 +876,8 @@ class ShardedLccEngine:
         key = (global_init_step, n_steps)
         if key not in self._call_cache:
             self._call_cache[key] = self._make_call(global_init_step, n_steps)
-        tv, alive, flag, packed, tv16, head, st_scan = self._call_cache[key](
-            tv, alive, flag, self._ops
+        tv, alive, flag, packed, tv16, live16, head, st_scan = (
+            self._call_cache[key](tv, alive, flag, self._ops)
         )
         rows = []
         any_died = False
@@ -852,8 +903,20 @@ class ShardedLccEngine:
             av_s, ae_s, msg_s, died_s = (np.asarray(x) for x in st_scan)
             for i in range(av_s.shape[0]):
                 emit(av_s[i], ae_s[i], msg_s[i], died_s[i])
+        out_state = ShardedState(
+            tv, alive, flag, packed=packed, tv16=tv16, live_packed=live16
+        )
+        # post-init host reconstruction is exact only for the pure init
+        # superstep with label-bitset acceptance (same rule as
+        # BucketedLccEngine.lcc_call)
+        out_state.recon_init = (
+            global_init_step
+            and n_steps == 1
+            and self.meta_allow is None
+            and not self.counting
+        )
         return (
-            ShardedState(tv, alive, flag, packed=packed, tv16=tv16),
+            out_state,
             rows,
             any_died,
         )

@@ -161,3 +161,41 @@ def test_sharded_per_rank_attribution_matches_flat(tree_pattern, tmp_path):
             assert (
                 np.asarray(fr.per_rank[key]) == np.asarray(sr.per_rank[key])
             ).all(), (fr.itr, fr.phase, fr.step, key)
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_sharded_init_host_reconstruction(ndev, tree_pattern):
+    # After the global init superstep (n_steps=1), tv_host and alive_pairs
+    # must REBUILD both on the host from the per-shard V-bit live-row
+    # bitmap (engine/init_recon.py shared path) and match the device
+    # arrays bit-for-bit — including rows split across chunk boundaries.
+    from fuzzypatternmatching_tpu.parallel.sharded import ShardedState
+
+    g = _rmat_graph(10)
+    labels = degree_labels(g)
+    eng = ShardedLccEngine(g, labels, tree_pattern, num_devices=ndev)
+    st, _rows, _d = eng.lcc_call(eng.init_state(), True, n_steps=1)
+    assert st.recon_init
+    assert st.tv_np is None
+
+    # reference: the packed-download path on a state without recon_init
+    ref = ShardedState(
+        st.tv, st.edge_alive, st.tp_flag, packed=st.packed, tv16=st.tv16
+    )
+    ref_rows, ref_cols = eng.alive_pairs(ref)
+    ref_ids = eng.alive_edge_ids(ref)
+    got_rows, got_cols = eng.alive_pairs(st)
+    got_ids = eng.alive_edge_ids(st)
+    assert np.array_equal(got_rows, ref_rows)
+    assert np.array_equal(got_cols, ref_cols)
+    assert np.array_equal(got_ids, ref_ids)
+
+    recon_tv = eng.tv_host(st)
+    dev_tv = (
+        np.asarray(st.tv).reshape(-1)[: g.num_vertices].astype(np.uint32)
+    )
+    assert np.array_equal(recon_tv, dev_tv)
+
+    # multi-step and continuation calls must NOT claim reconstructable
+    st2, _r, _d = eng.lcc_call(st, False, n_steps=2)
+    assert not st2.recon_init
