@@ -640,7 +640,17 @@ class BucketedLccEngine:
         # becomes a pure download instead of a second dispatch round trip.
         # live rows (tv != 0) packed too: after an init call that V/8-byte
         # bitmap is the ONLY transfer the host reconstruction path needs.
-        return tv, alive, flag, jnp.packbits(alive), jnp.packbits(tv != 0), stats
+        # The counters and the live bitmap ride ONE uint8 buffer (explicit
+        # little-endian bytes, no bitcast) — a remote-attached pull pays
+        # per-buffer round-trip latency, so two tiny pulls cost two trips
+        # while one combined pull costs one.
+        s = stats.reshape(-1)
+        stat_bytes = jnp.stack(
+            [((s >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(4)],
+            axis=1,
+        ).reshape(-1)
+        combo = jnp.concatenate([stat_bytes, jnp.packbits(tv != 0)])
+        return tv, alive, flag, jnp.packbits(alive), combo
 
     def init_state(self) -> BucketedState:
         return BucketedState(
@@ -813,11 +823,20 @@ class BucketedLccEngine:
             consts["meta"] = self._meta_dev
         if self._class_dev is not None:
             consts["cls"] = self._class_dev
-        tv, alive, flag, packed, live_packed, stats = call(
+        tv, alive, flag, packed, combo = call(
             state.tv, state.alive, state.tp_flag, self._dev, consts
         )
-        st = np.asarray(stats)  # one D2H pull for the whole call's counters
+        # ONE D2H pull: the call's counters + the packed live-row bitmap
         rr = self.num_ranks
+        combo_np = np.asarray(combo)
+        nstat = n_steps * (3 * rr + 1)
+        sb = combo_np[: 4 * nstat].reshape(nstat, 4).astype(np.uint32)
+        st = (
+            (sb[:, 0] | sb[:, 1] << 8 | sb[:, 2] << 16 | sb[:, 3] << 24)
+            .astype(np.int32)
+            .reshape(n_steps, 3 * rr + 1)
+        )
+        live_packed = combo_np[4 * nstat :]
         rows = []
         for r in st:
             av_r = r[0:rr].copy()

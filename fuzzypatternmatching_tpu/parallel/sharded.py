@@ -374,6 +374,27 @@ class ShardedLccEngine:
                     (tv, alive, flag), st_scan = jax.lax.scan(
                         body, (tv, alive, flag), None, length=n_steps
                     )
+                # pack every superstep's counters into ONE int32 matrix
+                # [steps, 3R+1] (av | ae | msg | died), like the bucketed
+                # engine: the caller downloads a single buffer instead of
+                # 3-4 per-array pulls PER SUPERSTEP — each tiny pull costs
+                # a full round trip on a remote-attached device
+                rows_parts = [
+                    jnp.concatenate(
+                        [av, ae, msg, d.astype(jnp.int32).reshape(1)]
+                    )[None, :]
+                    for (av, ae, msg, d) in head
+                ]
+                if st_scan is not None:
+                    av_s, ae_s, msg_s, died_s = st_scan
+                    rows_parts.append(
+                        jnp.concatenate(
+                            [av_s, ae_s, msg_s,
+                             died_s.astype(jnp.int32)[:, None]],
+                            axis=1,
+                        )
+                    )
+                stats = jnp.concatenate(rows_parts, axis=0)
                 # compact transfer mirrors (see ShardedState.packed/tv16):
                 # packed per shard so the host pulls E/8 + 2V bytes per
                 # phase crossing instead of E + 4V; live rows (tv != 0)
@@ -389,7 +410,7 @@ class ShardedLccEngine:
                     in_specs=(sh, sh),
                     out_specs=(sh, sh, sh),
                 )(alive, tv)
-                return tv, alive, flag, packed, tv16, live16, head, st_scan
+                return tv, alive, flag, packed, tv16, live16, stats
 
             return jax.jit(call)
 
@@ -876,17 +897,16 @@ class ShardedLccEngine:
         key = (global_init_step, n_steps)
         if key not in self._call_cache:
             self._call_cache[key] = self._make_call(global_init_step, n_steps)
-        tv, alive, flag, packed, tv16, live16, head, st_scan = (
+        tv, alive, flag, packed, tv16, live16, stats = (
             self._call_cache[key](tv, alive, flag, self._ops)
         )
+        st = np.asarray(stats)  # ONE D2H pull for the whole call's counters
+        rr = self.num_ranks
         rows = []
-        any_died = False
-
-        def emit(av_r, ae_r, msg_r, died):
-            nonlocal any_died
-            av_r = np.asarray(av_r)
-            ae_r = np.asarray(ae_r)
-            msg_r = np.asarray(msg_r)
+        for r in st:
+            av_r = r[0:rr].copy()
+            ae_r = r[rr : 2 * rr].copy()
+            msg_r = r[2 * rr : 3 * rr].copy()
             rows.append(
                 (
                     int(av_r.sum()),
@@ -895,14 +915,7 @@ class ShardedLccEngine:
                     {"av": av_r, "ae": ae_r, "msg": msg_r},
                 )
             )
-            any_died = any_died or bool(died)
-
-        for st in head:
-            emit(*st)
-        if st_scan is not None:
-            av_s, ae_s, msg_s, died_s = (np.asarray(x) for x in st_scan)
-            for i in range(av_s.shape[0]):
-                emit(av_s[i], ae_s[i], msg_s[i], died_s[i])
+        any_died = bool((st[:, -1] != 0).any())
         out_state = ShardedState(
             tv, alive, flag, packed=packed, tv16=tv16, live_packed=live16
         )

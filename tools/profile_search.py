@@ -21,22 +21,38 @@ from fuzzypatternmatching_tpu.pattern.builtin import load_tree_pattern
 
 
 def main():
-    g, labels, _ = storage.load(os.path.join(REPO, ".bench_cache", "rmat_s21"))
+    base = os.path.join(REPO, ".bench_cache", "rmat_s21")
+    if os.path.exists(os.path.join(base, "meta.json")):
+        g, labels, _ = storage.load(base)
+    else:
+        import bench
+
+        g, labels = bench.build_or_load_graph(21)
     pat, cons = load_tree_pattern(tempfile.mkdtemp())
     eng = MatchEngine(g, labels, pat, cons)
     t0 = time.time()
     eng.run()
     print(f"warmup {time.time()-t0:.1f}s", flush=True)
-    t0 = time.time()
-    r = eng.run()
-    total = time.time() - t0
-    lp = sum(x.seconds for x in r.rows if x.phase == "LP")
-    tp = sum(x.seconds for x in r.rows if x.phase == "TP")
-    print(f"measured {total:.2f}s | LP {lp:.2f}s | TP {tp:.2f}s | "
-          f"other {total-lp-tp:.2f}s")
-    for x in r.rows:
-        if x.phase == "TP" or x.step == 0:
-            print(f"  itr{x.itr} {x.phase} {x.step}: t={x.seconds:.2f}")
+    for i in range(2):
+        t0 = time.time()
+        r = eng.run()
+        total = time.time() - t0
+        lp = sum(x.seconds for x in r.rows if x.phase == "LP")
+        tp = sum(x.seconds for x in r.rows if x.phase == "TP")
+        print(f"measured {total:.2f}s | LP {lp:.2f}s | TP {tp:.2f}s | "
+              f"other {total-lp-tp:.2f}s")
+        for x in r.rows:
+            if x.phase == "TP" or x.step == 0:
+                print(f"  itr{x.itr} {x.phase} {x.step}: t={x.seconds:.2f}")
+    # function-level profile of a steady-state run (closure cache warm)
+    import cProfile
+    import pstats
+
+    prof = cProfile.Profile()
+    prof.enable()
+    eng.run()
+    prof.disable()
+    pstats.Stats(prof).sort_stats("cumulative").print_stats(35)
 
 
 if __name__ == "__main__":

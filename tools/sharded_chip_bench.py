@@ -65,7 +65,17 @@ def main():
                 "user-facing mesh end-to-end: first superstep on the mesh, "
                 "continuation on the pruned-subgraph sub-engine.",
     }
+    # BENCH_MODES=compact (or full_plane) re-measures one mode and merges
+    # into the existing JSON — the other mode's relay compile (~44 min for
+    # full_plane) is not re-paid when only one data path changed
+    want = os.environ.get("BENCH_MODES", "full_plane,compact").split(",")
+    prev = os.path.join(REPO, "BENCH_SHARDED_CHIP.json")
+    if os.path.exists(prev):
+        with open(prev) as f:
+            out["modes"].update(json.load(f).get("modes", {}))
     for mode, kw in (("full_plane", {"compact": False}), ("compact", {})):
+        if mode not in want:
+            continue
         t0 = time.time()
         engine = MatchEngine(
             g, labels, pattern, constraints, lcc_engine="sharded",
