@@ -151,6 +151,13 @@ class MatchEngine:
         # (fp, keys, union, u_rows_uniq, alive_sub_eids, sub, sub_cpu):
         # the full compact-closure derivation keyed on the exact alive set
         self._sub_cache: tuple | None = None
+        # per-constraint token-source label candidates (labels never
+        # change): token_sources then filters this list by tv bits instead
+        # of re-scanning the V-sized label array on every call
+        self._cands = [
+            np.nonzero(self.labels == c.labels[0])[0].astype(np.int64)
+            for c in constraints
+        ]
 
     def _edge_index(self, v: int, u: int) -> int:
         """Edge slot of (v, u): binary search within v's sorted CSR row
@@ -329,7 +336,8 @@ class MatchEngine:
             result.traversed_edges += msgs
 
     def _nlcc_on_device(
-        self, acsr: AliveCsr, c: NonLocalConstraint, tv: np.ndarray
+        self, acsr: AliveCsr, c: NonLocalConstraint, tv: np.ndarray,
+        candidates: np.ndarray | None = None,
     ) -> bool:
         """Place one constraint run. A jitted frontier program pays a fixed
         dispatch (and one-time compile) cost, so "auto" moves a constraint
@@ -343,18 +351,21 @@ class MatchEngine:
             return False
         if self.nlcc_mode == "device":
             return True
-        sources = token_sources(c, self.labels, tv)
+        sources = token_sources(c, self.labels, tv, candidates)
         work = self._dev_nlcc._first_expansion(acsr, sources)
         return work >= self.nlcc_device_min
 
-    def _dev_or_host(self, is_tds, pl, acsr, tv, c, forwarded, hopc):
+    def _dev_or_host(
+        self, is_tds, pl, acsr, tv, c, forwarded, hopc, candidates=None
+    ):
         """One constraint on the device NLCC engine, with the host engine as
         the bounded-growth fallback: a frontier that overflows past the
         capped capacity doublings (each a fresh multi-minute XLA compile)
         reruns on the host — exact same results, no compile stall. The
         forwarded set is snapshotted so a partial device run never leaks
         dedup keys into the host rerun."""
-        kw = {"forwarded": forwarded, "hopc": hopc}
+        kw = {"forwarded": forwarded, "hopc": hopc,
+              "candidates": candidates}
         if hasattr(self._dev_nlcc, "mesh"):
             kw["source_batch"] = self.source_batch
         fn = self._dev_nlcc.run_tds if is_tds else self._dev_nlcc.run_nem
@@ -371,7 +382,7 @@ class MatchEngine:
             forwarded.keys = snapshot
             host_fn = run_tds if is_tds else run_nem
             hkw = {"forwarded": forwarded, "hopc": hopc,
-                   "num_ranks": self.num_ranks}
+                   "num_ranks": self.num_ranks, "candidates": candidates}
             if is_tds:
                 hkw["source_batch"] = self.source_batch
             return host_fn(
@@ -506,7 +517,8 @@ class MatchEngine:
                         if self._meta is not None
                         else None
                     )
-                    use_dev = self._nlcc_on_device(acsr, c, tv)
+                    cand = self._cands[pl]
+                    use_dev = self._nlcc_on_device(acsr, c, tv, cand)
                     # driver-level forwarded-set clearing runs before EVERY
                     # constraint: non-selected runs wipe the sets, selected
                     # ones keep only active final-label vertices
@@ -515,7 +527,8 @@ class MatchEngine:
                     if c.is_tds:
                         if use_dev:
                             out = self._dev_or_host(
-                                True, pl, acsr, tv, c, forwarded, hopc
+                                True, pl, acsr, tv, c, forwarded, hopc,
+                                cand,
                             )
                         else:
                             out = run_tds(
@@ -523,6 +536,7 @@ class MatchEngine:
                                 source_batch=self.source_batch,
                                 num_ranks=self.num_ranks,
                                 forwarded=forwarded, hopc=hopc,
+                                candidates=cand,
                             )
                         if out.subgraphs is not None and len(out.subgraphs):
                             result.subgraphs.setdefault(pl, []).extend(
@@ -533,13 +547,14 @@ class MatchEngine:
                     else:
                         if use_dev:
                             out = self._dev_or_host(
-                                False, pl, acsr, tv, c, forwarded, hopc
+                                False, pl, acsr, tv, c, forwarded, hopc,
+                                cand,
                             )
                         else:
                             out = run_nem(
                                 acsr, self.labels, tv, c, g.num_vertices,
                                 num_ranks=self.num_ranks, forwarded=forwarded,
-                                hopc=hopc,
+                                hopc=hopc, candidates=cand,
                             )
                     if bool(out.validated.any()):
                         result.pattern_found[pl] = True

@@ -84,6 +84,28 @@ def recon_pairs(graph, pattern, label_tv: np.ndarray, live: np.ndarray):
     total = int(lens.sum())
     if total > max(graph.num_edges // 8, 1 << 22):
         return None  # weak pruning: the packed download is cheaper
+    # native fast path: one threaded pass over the CSR ranges instead of
+    # ~7 numpy passes (needs materialized contiguous int64 arrays — a
+    # memmap-backed GraphDb uses the numpy accessor path below)
+    cols_arr = getattr(graph, "cols", None)
+    if (
+        isinstance(cols_arr, np.ndarray)
+        and cols_arr.dtype == np.int64
+        and cols_arr.flags.c_contiguous
+        and isinstance(rp, np.ndarray)
+        and rp.dtype == np.int64
+        and rp.flags.c_contiguous
+    ):
+        from .. import native
+
+        if native.available():
+            am = or_over_bits_np(pattern, label_tv[rows])
+            return native.recon_pairs_native(
+                rp, cols_arr,
+                np.ascontiguousarray(label_tv, dtype=np.uint32),
+                np.ascontiguousarray(am, dtype=np.uint32),
+                rows.astype(np.int64), total,
+            )
     csum = np.cumsum(lens)
     idx = np.arange(total, dtype=np.int64) + np.repeat(
         starts - np.concatenate(([0], csum[:-1])), lens

@@ -164,11 +164,23 @@ class NlccOutcome:
 
 
 def token_sources(
-    c: NonLocalConstraint, labels: np.ndarray, tv: np.ndarray
+    c: NonLocalConstraint,
+    labels: np.ndarray,
+    tv: np.ndarray,
+    candidates: np.ndarray | None = None,
 ) -> np.ndarray:
     """Qualifying token sources (nem_1.hpp:387-479; tds_batch_1.hpp:1067-1135).
 
-    Path-check (non-TDS) sources must hold both endpoint template bits."""
+    Path-check (non-TDS) sources must hold both endpoint template bits.
+    ``candidates`` (sorted ids with labels == c.labels[0], precomputed
+    once per constraint — labels never change) skips the V-sized label
+    scan this otherwise repeats on every call."""
+    if candidates is not None:
+        tvc = tv[candidates]
+        m = ((tvc >> int(c.indices[0])) & 1).astype(bool)
+        if not c.is_tds and not c.valid_cycle and not c.selected_vertices:
+            m &= ((tvc >> int(c.indices[-1])) & 1).astype(bool)
+        return candidates[m].astype(np.int64)
     mask = (labels == c.labels[0]) & ((tv >> int(c.indices[0])) & 1).astype(bool)
     if not c.is_tds and not c.valid_cycle and not c.selected_vertices:
         mask &= ((tv >> int(c.indices[-1])) & 1).astype(bool)
@@ -250,6 +262,7 @@ def run_nem(
     num_ranks: int = 1,
     forwarded: ForwardedSets | None = None,
     hopc: np.ndarray | None = None,
+    candidates: np.ndarray | None = None,
 ) -> NlccOutcome:
     """nem-style walk constraint: one pass of
     token_passing_pattern_matching (nem_1.hpp:913-939). ``forwarded`` is the
@@ -258,7 +271,7 @@ def run_nem(
     (metadata mode) gives the per-hop required edge-metadata code."""
     if forwarded is None:
         forwarded = ForwardedSets.empty()
-    sources = token_sources(c, labels, tv)
+    sources = token_sources(c, labels, tv, candidates)
     if c.selected_vertices:
         # destinations (active final-label vertices) are the validated
         # entities in aggregation mode (nem_1.hpp:414-432, 694-716)
@@ -362,11 +375,12 @@ def run_tds(
     num_ranks: int = 1,
     forwarded: ForwardedSets | None = None,
     hopc: np.ndarray | None = None,
+    candidates: np.ndarray | None = None,
 ) -> NlccOutcome:
     """TDS enumeration walk with full history
     (tds_batch_1.hpp:560-930, 1149-1303). ``hopc`` (metadata mode) gives
     the per-hop required edge-metadata code."""
-    sources = token_sources(c, labels, tv)
+    sources = token_sources(c, labels, tv, candidates)
     validated = np.zeros(len(sources), dtype=bool)
     src_pos = {int(s): i for i, s in enumerate(sources)}
     starts, targets = tds_start_pairs(c, sources, forwarded, num_vertices)

@@ -327,6 +327,7 @@ class DeviceNlcc:
         num_vertices: int,
         forwarded: ForwardedSets | None = None,
         hopc: np.ndarray | None = None,
+        candidates: np.ndarray | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
         if hopc is not None:
@@ -335,7 +336,7 @@ class DeviceNlcc:
             )
         if forwarded is None:
             forwarded = ForwardedSets.empty()
-        sources = token_sources(c, labels, tv)
+        sources = token_sources(c, labels, tv, candidates)
         if c.selected_vertices:
             map_keys = np.nonzero((tv != 0) & (labels == c.labels[-1]))[0].astype(np.int64)
         else:
@@ -408,13 +409,14 @@ class DeviceNlcc:
         collect_subgraphs: bool = True,
         forwarded: ForwardedSets | None = None,
         hopc: np.ndarray | None = None,
+        candidates: np.ndarray | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
         if hopc is not None:
             raise NotImplementedError(
                 "metadata hop filters run in the host or mesh NLCC engines"
             )
-        sources = token_sources(c, labels, tv)
+        sources = token_sources(c, labels, tv, candidates)
         starts, targets = tds_start_pairs(c, sources, forwarded, self.V)
         ptr, col, apad = self.prepare(acsr)
         maxi = c.cycle_length

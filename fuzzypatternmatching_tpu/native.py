@@ -66,6 +66,11 @@ def _load():
         ctypes.c_char_p, i64p,
     ]
     lib.fpm_rmat_spill_shards.restype = ctypes.c_int64
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.fpm_recon_pairs.argtypes = [
+        i64p, i64p, u32p, u32p, i64p, ctypes.c_int64, i64p, i64p, i64p,
+    ]
+    lib.fpm_recon_pairs.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -156,6 +161,29 @@ def read_edge_file_native(path: str):
     if got != n:
         raise IOError(f"{path}: parsed {got} rows, expected {n}")
     return src, dst, data
+
+
+def recon_pairs_native(
+    row_ptr: np.ndarray,
+    cols: np.ndarray,
+    label_tv: np.ndarray,
+    am: np.ndarray,
+    rows: np.ndarray,
+    total: int,
+):
+    """(rows, cols, edge_ids) of the accepted slots in the surviving rows'
+    CSR ranges, row-major (engine/init_recon.py fast path). ``am`` is the
+    per-surviving-row accept mask; ``total`` the rows' summed degrees."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out_r = np.empty(total, dtype=np.int64)
+    out_c = np.empty(total, dtype=np.int64)
+    out_e = np.empty(total, dtype=np.int64)
+    k = lib.fpm_recon_pairs(
+        row_ptr, cols, label_tv, am, rows, len(rows), out_r, out_c, out_e
+    )
+    return out_r[:k].copy(), out_c[:k].copy(), out_e[:k].copy()
 
 
 def build_csr_native(src: np.ndarray, dst: np.ndarray, num_vertices: int):

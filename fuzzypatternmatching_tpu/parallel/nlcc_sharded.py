@@ -514,12 +514,13 @@ class ShardedNlcc:
         num_vertices: int,
         forwarded: ForwardedSets | None = None,
         hopc: np.ndarray | None = None,
+        candidates: np.ndarray | None = None,
         source_batch: int | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
         if forwarded is None:
             forwarded = ForwardedSets.empty()
-        sources = token_sources(c, labels, tv)
+        sources = token_sources(c, labels, tv, candidates)
         if c.selected_vertices:
             map_keys = np.nonzero((tv != 0) & (labels == c.labels[-1]))[
                 0
@@ -612,10 +613,11 @@ class ShardedNlcc:
         collect_subgraphs: bool = True,
         forwarded: ForwardedSets | None = None,
         hopc: np.ndarray | None = None,
+        candidates: np.ndarray | None = None,
         source_batch: int | None = None,
     ) -> NlccOutcome:
         assert num_vertices == self.V
-        sources = token_sources(c, labels, tv)
+        sources = token_sources(c, labels, tv, candidates)
         starts, targets = tds_start_pairs(c, sources, forwarded, self.V)
         order = np.argsort(starts, kind="stable")
         starts, targets = starts[order], targets[order]

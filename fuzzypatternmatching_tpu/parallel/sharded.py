@@ -134,12 +134,36 @@ class ShardedLccEngine:
         lrow_s = np.zeros((n, ec), dtype=np.int32)
         evalid_s = np.zeros((n, ec), dtype=bool)
         col_chunks = []
+        # segmented-scan structure of each chunk (slots are CSR-ordered, so
+        # local row ids are nondecreasing): per-slot segment-start flags +
+        # per-local-row first/last slot positions (ec = "no slots" pad).
+        # These let the superstep express segment-OR/-sum/-broadcast as ONE
+        # vectorized associative scan + an rmax-sized static-index gather/
+        # scatter instead of E-sized segment_max scatters and table[lrow]
+        # gathers — XLA lowers those one element at a time on TPU
+        # (docs/ROOFLINE.md "gather wall"), and they dominated the mesh
+        # superstep's measured cost.
+        segstart_s = np.zeros((n, ec), dtype=bool)
+        first_s = np.full((n, rmax), ec, dtype=np.int32)
+        last_s = np.full((n, rmax), ec, dtype=np.int32)
         for r in range(n):
             lo, hi = r * ec, min((r + 1) * ec, e)
-            cnt = hi - lo
+            cnt = max(hi - lo, 0)  # trailing chunks may be empty
+            hi = max(hi, lo)
             lrow_s[r, :cnt] = graph.edge_row_range(lo, hi) - rowstart[r]
             evalid_s[r, :cnt] = True
             col_chunks.append(graph.cols_range(lo, hi))
+            if cnt > 0:
+                lr = lrow_s[r, :cnt].astype(np.int64)
+                heads = np.concatenate(([True], lr[1:] != lr[:-1]))
+                segstart_s[r, :cnt] = heads
+                hpos = np.nonzero(heads)[0]
+                first_s[r, lr[hpos]] = hpos
+                tails = np.concatenate((heads[1:], [True]))
+                tpos = np.nonzero(tails)[0]
+                last_s[r, lr[tpos]] = tpos
+            if cnt < ec:
+                segstart_s[r, cnt] = True  # isolate the pad tail
 
         # --- tv halo: per chunk, the unique vertices whose tv it reads
         # (columns + own row range); request lists per owner ---------------
@@ -266,6 +290,13 @@ class ShardedLccEngine:
                 m |= np.where((tvr >> i) & 1 != 0, adj_all_np[i], np.uint32(0))
             init_rowtv[r, : len(rr)] = tvr
             init_adjmask[r, : len(rr)] = m
+        # per-SLOT init accept mask (init_adjmask spread along each row's
+        # slots at construction): the init superstep then needs no
+        # mask[lrow] gather at all — a pure streaming read
+        init_slotmask = np.zeros((n, ec), dtype=np.uint32)
+        for r in range(n):
+            cnt = max(min((r + 1) * ec, e) - r * ec, 0)
+            init_slotmask[r, :cnt] = init_adjmask[r, lrow_s[r, :cnt]]
 
         # edge-metadata-constrained matching on the mesh (see LccEngine /
         # BucketedLccEngine; edge_data_db.hpp analog): per-chunk slot
@@ -331,6 +362,11 @@ class ShardedLccEngine:
             ops.append(jax.device_put(init_rowtv, shard2))
         if cls_s is not None:
             ops.append(jax.device_put(cls_s, shard2))
+        # segmented-scan structure + per-slot init mask (always last four)
+        ops.append(jax.device_put(segstart_s, shard2))
+        ops.append(jax.device_put(first_s, shard2))
+        ops.append(jax.device_put(last_s, shard2))
+        ops.append(jax.device_put(init_slotmask, shard2))
         self._ops = tuple(ops)
 
         self.k = pattern.vertex_count
@@ -470,6 +506,46 @@ class ShardedLccEngine:
         if self.counting:
             cls = ops_loc[pos]
             pos += 1
+        seg_start, first_slot, last_slot, init_slotmask = ops_loc[
+            pos : pos + 4
+        ]
+
+        # --- segmented primitives over the chunk's CSR-sorted slots -------
+        # One work-efficient associative scan (vectorized slices on TPU)
+        # replaces E-sized segment_max/segment_sum scatters and
+        # table[lrow] gathers, which XLA serializes per element on this
+        # target (docs/ROOFLINE.md "gather wall"). first/last_slot are
+        # rmax-sized static-index ops.
+
+        def _seg_scan(vals, op):
+            def comb(a, b):
+                f1, v1 = a
+                f2, v2 = b
+                return f1 | f2, jnp.where(f2, v2, op(v1, v2))
+
+            _f, acc = jax.lax.associative_scan(comb, (seg_start, vals))
+            return acc
+
+        def _tail(acc):
+            return jnp.concatenate([acc, jnp.zeros(1, acc.dtype)])[last_slot]
+
+        def seg_or(bits):
+            """Per-local-row OR of uint32 bitsets ([ec] -> [rmax])."""
+            return _tail(_seg_scan(bits, jnp.bitwise_or))
+
+        def seg_sum(vals):
+            """Per-local-row sum ([ec] -> [rmax])."""
+            return _tail(_seg_scan(vals, jnp.add))
+
+        def seg_bcast(row_vals):
+            """Per-row values spread along each row's slots
+            ([rmax] -> [ec]): set at segment heads, propagate by scan."""
+            heads = (
+                jnp.zeros(ec, dtype=row_vals.dtype)
+                .at[first_slot]
+                .set(row_vals, mode="drop")
+            )
+            return _seg_scan(heads, lambda a, b: a)
 
         if init:
             tv_loc = label_tv_own
@@ -482,7 +558,7 @@ class ShardedLccEngine:
                 )
             send_ok = p_bits != 0
             rowtv = init_rowtv if meta else None
-            adj_mask = init_adjmask
+            mask_slots = init_slotmask  # precomputed: no [lrow] gather
         else:
             # --- tv halo: only the boundary values this chunk reads move
             tv_pad = jnp.concatenate([tv_loc, jnp.zeros(1, jnp.uint32)])
@@ -502,25 +578,12 @@ class ShardedLccEngine:
             send_ok = (p_bits != 0) & alH[revmap] & evalid
             p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
             rowtv = tvH[rowmap]
-            adj_mask = self._or_over_bits(rowtv)
-
-        weights = (1 << jnp.arange(self.k, dtype=jnp.uint32))[None, :]
-
-        def seg_or(bits):
-            """Partial segment-OR of uint32 bitsets over local rows."""
-            planes = (
-                (bits[:, None] >> jnp.arange(self.k, dtype=jnp.uint32)[None, :])
-                & 1
-            ).astype(jnp.uint8)
-            pl = jax.ops.segment_max(planes, lrow, num_segments=rmax) > 0
-            return jnp.sum(
-                pl.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32
-            )
+            mask_slots = seg_bcast(self._or_over_bits(rowtv))
 
         if meta:
             # per-slot allowed-parent masks (the slot's metadata code
             # selects the allow row); tn accumulated per receiver bit
-            rowbits = rowtv[lrow]  # receiver's current bits per slot
+            rowbits = seg_bcast(rowtv)  # receiver's current bits per slot
             mask = jnp.zeros_like(p_bits)
             tn_cols = []
             for i in range(self.k):
@@ -530,13 +593,12 @@ class ShardedLccEngine:
                 tn_cols.append(seg_or(p_bits & allow_i))
             accept = (p_bits & mask) != 0
             pa = jnp.where(accept, p_bits, jnp.uint32(0))
-            # accept-any plane rides the exchange as column K (in_map)
-            acc_any = jax.ops.segment_max(
-                accept.astype(jnp.uint32), lrow, num_segments=rmax
-            )
+            # accept-any plane rides the exchange as column K (in_map);
+            # OR == max on 0/1 values
+            acc_any = seg_or(accept.astype(jnp.uint32))
             stack = jnp.stack(tn_cols + [acc_any], axis=1)  # [rmax, K+1]
         else:
-            accept = (p_bits & adj_mask[lrow]) != 0
+            accept = (p_bits & mask_slots) != 0
             pa = jnp.where(accept, p_bits, jnp.uint32(0))
             # partial neighbor-bitset OR per local row (hub rows spanning
             # chunks produce partials on several devices)
@@ -584,10 +646,7 @@ class ShardedLccEngine:
                 else:
                     acc_i = (pa & self.adj_all[i]) != 0
                 cnt_cols.append(
-                    jax.ops.segment_sum(
-                        (acc_i & (cls == j + 1)).astype(jnp.int32),
-                        lrow, num_segments=rmax,
-                    )
+                    seg_sum((acc_i & (cls == j + 1)).astype(jnp.int32))
                 )
             cnt_stack = jnp.stack(cnt_cols, axis=1)  # [rmax, P]
             cnt_pad = jnp.concatenate(
@@ -625,7 +684,7 @@ class ShardedLccEngine:
         for o in range(n):
             row_tv = row_tv.at[sendrows[o]].set(recvr[o], mode="drop")
 
-        row_live = row_tv[lrow] != 0
+        row_live = seg_bcast(row_tv) != 0
         if init:
             new_alive = accept & row_live
         else:

@@ -408,4 +408,78 @@ int64_t fpm_read_edge_list(const char* path, int64_t n_rows, int64_t n_cols,
   return row;
 }
 
+// Post-init alive-set reconstruction (engine/init_recon.py fast path;
+// the device-side invariant is documented there): walk the surviving
+// rows' CSR ranges and keep each slot whose sender label bitset
+// intersects the row's accept mask. Two-phase threaded: per-thread kept
+// counts over balanced row spans, then exact-offset fills — output is in
+// CSR row-major order (the engines' alive_pairs contract). Returns the
+// number of kept slots; out arrays must hold sum of the rows' degrees.
+int64_t fpm_recon_pairs(const int64_t* row_ptr, const int64_t* cols,
+                        const uint32_t* label_tv, const uint32_t* am,
+                        const int64_t* rows, int64_t n_rows,
+                        int64_t* out_rows, int64_t* out_cols,
+                        int64_t* out_eids) {
+  const int nt = (std::thread::hardware_concurrency() > 1 && n_rows > 4096)
+                     ? 2
+                     : 1;
+  // balanced split point by slot volume
+  std::vector<int64_t> split(nt + 1, n_rows);
+  split[0] = 0;
+  if (nt == 2) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_rows; ++i)
+      total += row_ptr[rows[i] + 1] - row_ptr[rows[i]];
+    int64_t acc = 0, cut = n_rows;
+    for (int64_t i = 0; i < n_rows; ++i) {
+      acc += row_ptr[rows[i] + 1] - row_ptr[rows[i]];
+      if (acc * 2 >= total) {
+        cut = i + 1;
+        break;
+      }
+    }
+    split[1] = cut;
+  }
+  std::vector<int64_t> kept(nt, 0);
+  auto count_span = [&](int t) {
+    int64_t k = 0;
+    for (int64_t i = split[t]; i < split[t + 1]; ++i) {
+      const uint32_t m = am[i];
+      const int64_t lo = row_ptr[rows[i]], hi = row_ptr[rows[i] + 1];
+      for (int64_t e = lo; e < hi; ++e) k += (label_tv[cols[e]] & m) != 0;
+    }
+    kept[t] = k;
+  };
+  auto fill_span = [&](int t, int64_t off) {
+    for (int64_t i = split[t]; i < split[t + 1]; ++i) {
+      const int64_t v = rows[i];
+      const uint32_t m = am[i];
+      const int64_t lo = row_ptr[v], hi = row_ptr[v + 1];
+      for (int64_t e = lo; e < hi; ++e) {
+        const int64_t u = cols[e];
+        if (label_tv[u] & m) {
+          out_rows[off] = v;
+          out_cols[off] = u;
+          out_eids[off] = e;
+          ++off;
+        }
+      }
+    }
+  };
+  if (nt == 2) {
+    std::thread c0(count_span, 0);
+    count_span(1);
+    c0.join();
+    std::thread f0(fill_span, 0, 0);
+    fill_span(1, kept[0]);
+    f0.join();
+  } else {
+    count_span(0);
+    fill_span(0, 0);
+  }
+  int64_t total_kept = 0;
+  for (int t = 0; t < nt; ++t) total_kept += kept[t];
+  return total_kept;
+}
+
 }  // extern "C"
