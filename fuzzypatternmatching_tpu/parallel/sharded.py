@@ -292,7 +292,10 @@ class ShardedLccEngine:
             init_adjmask[r, : len(rr)] = m
         # per-SLOT init accept mask (init_adjmask spread along each row's
         # slots at construction): the init superstep then needs no
-        # mask[lrow] gather at all — a pure streaming read
+        # mask[lrow] gather at all — a pure streaming read. init_adjmask
+        # itself stays host-only (the continuation superstep derives its
+        # mask from the live rowtv via seg_bcast, so the device never
+        # consumes the row-shaped init mask).
         init_slotmask = np.zeros((n, ec), dtype=np.uint32)
         for r in range(n):
             cnt = max(min((r + 1) * ec, e) - r * ec, 0)
@@ -352,11 +355,10 @@ class ShardedLccEngine:
             jax.device_put(sendrows, shard3),
             jax.device_put(ridx, shard3),
             jax.device_put(code_s, shard2),
-            jax.device_put(init_adjmask, shard2),
             jax.device_put(lab_pad.reshape(n, b), shard2),
             jax.device_put(rowstart.reshape(n, 1).astype(np.int32), shard2),
         ]
-        self.label_tv = ops[11]
+        self.label_tv = ops[10]
         if mc_s is not None:
             ops.append(jax.device_put(mc_s, shard2))
             ops.append(jax.device_put(init_rowtv, shard2))
@@ -497,9 +499,9 @@ class ShardedLccEngine:
         ops_loc = [o[0] for o in ops]
         (
             lrow, evalid, colmap, rowmap, revmap, sendidx_tv, sendidx_al,
-            sendrows, ridx, adj_code, init_adjmask, label_tv_own, rowstart,
-        ) = ops_loc[:13]
-        pos = 13
+            sendrows, ridx, adj_code, label_tv_own, rowstart,
+        ) = ops_loc[:12]
+        pos = 12
         if meta:
             mc, init_rowtv = ops_loc[pos], ops_loc[pos + 1]
             pos += 2
@@ -731,15 +733,24 @@ class ShardedLccEngine:
     def per_device_elems(self) -> int:
         """Static per-device working-set size in array elements — the
         O((V+E)/n + cut) bound the halo layout guarantees (vs O(V+E) for a
-        full-all_gather data plane)."""
+        full-all_gather data plane). Counts every device-resident operand:
+        state (tv[b], alive[ec], flag[ec]), slot-shaped tables (lrow,
+        evalid, colmap, revmap, code, segstart, init_slotmask), row-shaped
+        tables (rowmap, first_slot, last_slot), the label-tv block, and
+        the halo exchange index lists."""
         n, b, ec, rmax = self.n, self.block, self.ec, self.rmax
-        return (
-            b  # tv block
-            + 4 * ec  # alive/flag/colmap/revmap (+lrow, evalid counted next)
-            + 2 * ec
-            + 2 * rmax  # rowmap + init_adjmask
+        elems = (
+            2 * b  # tv block + label-tv block
+            + 9 * ec  # alive/flag/lrow/evalid/colmap/revmap/code/segstart
+            #           /init_slotmask
+            + 3 * rmax  # rowmap + first_slot + last_slot
             + n * (self.halo_h + self.halo_hrev + 2 * self.halo_k)
         )
+        if self.meta_allow is not None:
+            elems += ec + rmax  # slot metadata codes + init_rowtv
+        if self.counting:
+            elems += ec  # slot sender-class codes
+        return elems
 
     def init_state(self) -> ShardedState:
         shard2 = NamedSharding(self.mesh, P("x", None))

@@ -12,8 +12,10 @@ Writes BENCH_SHARDED_CHIP.json. Run:
   PYTHONPATH=/root/repo:/root/.axon_site python tools/sharded_chip_bench.py
 """
 
+import datetime
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -67,8 +69,20 @@ def main():
     }
     # BENCH_MODES=compact (or full_plane) re-measures one mode and merges
     # into the existing JSON — the other mode's relay compile (~44 min for
-    # full_plane) is not re-paid when only one data path changed
+    # full_plane) is not re-paid when only one data path changed. Each mode
+    # carries its own (measured_at, commit) so a carried-over measurement
+    # keeps its provenance instead of being re-stamped by the merge.
     want = os.environ.get("BENCH_MODES", "full_plane,compact").split(",")
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"
+    )
     prev = os.path.join(REPO, "BENCH_SHARDED_CHIP.json")
     if os.path.exists(prev):
         with open(prev) as f:
@@ -109,6 +123,8 @@ def main():
             "tp_seconds": round(tp_s, 3),
             "active_vertices": len(r.active_vertices),
             "subgraphs": sum(len(v) for v in r.subgraphs.values()),
+            "measured_at": stamp,
+            "commit": commit,
         }
         del engine
     with open(os.path.join(REPO, "BENCH_SHARDED_CHIP.json"), "w") as f:
