@@ -6,6 +6,15 @@ Usage:
 
 Flags mirror generate_rmat.cpp:93-150 (-s scale, -o output, -p partitions,
 -b backup via transfer; -d edges/vertex instead of hardcoded 16).
+
+Multi-process: under scripts/launch_multiprocess.py (which appends
+``--distributed --num-processes N --process-id i``) each process generates
+its own slice of the generator ranks, spills by owner shard into the
+shared output directory, and builds the shards it owns — the
+owner-partitioned parallel construction of
+delegate_partitioned_graph.ipp:398-608, synchronized via the shared
+filesystem instead of MPI collectives. The resulting DB is byte-identical
+to the single-process build.
 """
 
 from __future__ import annotations
@@ -16,6 +25,7 @@ import time
 from ..generators.rmat import rmat_all_ranks
 from ..graph import storage
 from ..graph.csr import from_edges
+from ..utils.dist import add_distributed_args
 
 
 def main(argv=None):
@@ -32,9 +42,37 @@ def main(argv=None):
                          "(default: chunked spill build with "
                          "O(V + E/partitions) peak memory, "
                          "ipp:398-608 analog)")
+    add_distributed_args(ap)
     args = ap.parse_args(argv)
 
     t0 = time.time()
+    if (args.num_processes or 1) > 1:
+        # multi-process construction exchanges through the shared output
+        # dir + file barriers (no device runtime needed): jax.distributed
+        # is deliberately NOT initialized here
+        if args.in_memory:
+            ap.error("--in-memory is single-process only")
+        from ..graph.build import build_rmat_db_distributed
+
+        pid = args.process_id or 0
+        build_rmat_db_distributed(
+            args.output, scale=args.scale, process_id=pid,
+            num_processes=args.num_processes, n_ranks=args.partitions,
+            num_shards=args.partitions,
+            edges_per_vertex=args.edges_per_vertex,
+            scramble=not args.no_scramble,
+        )
+        if pid == 0:
+            db = storage.open_db(args.output)
+            print(
+                f"{args.num_processes}-process build: V={db.num_vertices} "
+                f"E={db.num_edges} in {time.time()-t0:.1f}s"
+            )
+            print(f"saved graph DB to {args.output}")
+            if args.backup:
+                storage.transfer(args.output, args.backup)
+                print(f"transferred to backup {args.backup}")
+        return
     if args.in_memory:
         src, dst = rmat_all_ranks(
             scale=args.scale,

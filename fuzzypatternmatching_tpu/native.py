@@ -63,7 +63,7 @@ def _load():
         ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint64, ctypes.c_uint32,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint64,
-        ctypes.c_char_p, i64p,
+        ctypes.c_char_p, i64p, ctypes.c_uint32, ctypes.c_uint32,
     ]
     lib.fpm_rmat_spill_shards.restype = ctypes.c_int64
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
@@ -119,10 +119,14 @@ def rmat_spill_shards_native(
     b: float = 0.19,
     c: float = 0.19,
     d: float = 0.05,
+    rank_lo: int = 0,
+    rank_hi: int | None = None,
 ) -> np.ndarray:
-    """Stream the multi-rank R-MAT into per-(shard, rank) packed-key spill
-    files with bounded memory; returns the raw (duplicate-inclusive)
-    degrees. See fpm_rmat_spill_shards."""
+    """Stream ranks [rank_lo, rank_hi) of the multi-rank R-MAT into
+    per-(shard, rank) packed-key spill files with bounded memory; returns
+    the raw (duplicate-inclusive) degree contribution OF THOSE RANKS (the
+    full degrees are the sum over all rank ranges). See
+    fpm_rmat_spill_shards."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -132,6 +136,7 @@ def rmat_spill_shards_native(
         base_seed, scale, per_rank, n_ranks, a, b, c, d,
         int(scramble), int(undirected), num_shards, block,
         spill_dir.encode(), deg,
+        rank_lo, n_ranks if rank_hi is None else rank_hi,
     )
     if rc != 0:
         raise IOError(f"spill generation failed in {spill_dir}")

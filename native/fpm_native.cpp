@@ -170,19 +170,27 @@ void fpm_rmat_generate_ranks(uint64_t base_seed, uint32_t scale,
 // where shard = u / block, through a per-(rank, shard) buffer. Degrees
 // accumulate into per-rank arrays merged under a mutex at rank end.
 // Returns 0 on success, -1 on I/O failure.
+// Streams ranks [rank_lo, rank_hi) of the n_ranks R-MAT stream into
+// per-(shard, rank) spill files. A multi-process build passes each
+// process a disjoint rank range (delegate_partitioned_graph.ipp:398-608's
+// per-rank stream slices); rank_lo=0, rank_hi=n_ranks is the single-host
+// build. Seeds/noise depend only on the absolute rank id, so the union of
+// the ranges' spill files is byte-identical to one process doing all.
 int64_t fpm_rmat_spill_shards(uint64_t base_seed, uint32_t scale,
                               uint64_t edges_per_rank, uint32_t n_ranks,
                               double a0, double b0, double c0, double d0,
                               int scramble, int undirected,
                               uint32_t num_shards, uint64_t block,
                               const char* spill_dir,
-                              int64_t* raw_degree /*V, zeroed by caller*/) {
+                              int64_t* raw_degree /*V, zeroed by caller*/,
+                              uint32_t rank_lo, uint32_t rank_hi) {
   const uint64_t V = uint64_t(1) << scale;
   const double inv = 1.0 / 4294967296.0;
   const size_t BUF = size_t(1) << 16;
-  std::atomic<uint32_t> next(0);
+  std::atomic<uint32_t> next(rank_lo);
   std::atomic<int> failed(0);
   static std::mutex deg_mu;
+  if (rank_hi > n_ranks) rank_hi = n_ranks;
 
   auto worker = [&]() {
     std::vector<int64_t> deg(V, 0);
@@ -192,7 +200,7 @@ int64_t fpm_rmat_spill_shards(uint64_t base_seed, uint32_t scale,
     char path[4096];
     for (;;) {
       uint32_t r = next.fetch_add(1);
-      if (r >= n_ranks) break;
+      if (r >= rank_hi) break;
       for (uint32_t s = 0; s < num_shards; ++s) {
         std::snprintf(path, sizeof(path), "%s/spill_%u_%u.bin", spill_dir, s,
                       r);
@@ -267,7 +275,8 @@ int64_t fpm_rmat_spill_shards(uint64_t base_seed, uint32_t scale,
   };
   unsigned hw = std::max(1u, std::thread::hardware_concurrency());
   std::vector<std::thread> ts;
-  for (unsigned t = 0; t < std::min(hw, n_ranks); ++t) ts.emplace_back(worker);
+  unsigned nr = rank_hi > rank_lo ? rank_hi - rank_lo : 0;
+  for (unsigned t = 0; t < std::min(hw, nr); ++t) ts.emplace_back(worker);
   for (auto& t : ts) t.join();
   return failed.load() ? -1 : 0;
 }
