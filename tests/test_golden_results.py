@@ -24,13 +24,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_BASE = os.path.join(REPO, "examples", "results_golden")
 
 
-def _build(scale):
+def _build(scale, corpus=None):
     import sys
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
-    from make_golden import build_config
+    from make_golden import PATTERN_PREFIX, build_config
 
-    return build_config(scale)
+    prefix = PATTERN_PREFIX if corpus is None else os.path.join(REPO, corpus)
+    return build_config(scale, prefix)
 
 
 def _normalize(path: str) -> list[str]:
@@ -66,13 +67,13 @@ def golden_meta():
 
 
 @pytest.mark.parametrize("engine", ["flat", "bucketed", "sharded"])
-@pytest.mark.parametrize("config", ["tree_s11", "tree_s13"])
+@pytest.mark.parametrize("config", ["tree_s11", "tree_s13", "cycle_s13"])
 def test_engine_result_tree_matches_golden(
     engine, config, golden_meta, tmp_path
 ):
     cfg = golden_meta["configs"][config]
     num_ranks = golden_meta["num_ranks"]
-    g, labels, pattern, constraints = _build(cfg["scale"])
+    g, labels, pattern, constraints = _build(cfg["scale"], cfg.get("corpus"))
     assert g.num_vertices == cfg["num_vertices"]
     assert g.num_edges == cfg["num_edges"]
     kw = {"nlcc_mode": "device"} if engine == "sharded" else {}

@@ -11,12 +11,20 @@ result-layout contract deliberately changes:
     PYTHONPATH=/root/repo python tools/make_golden.py
 
 Configs:
-  tree_s11 — R-MAT s11 (4-rank stream, unscrambled), degree labels, the
-             rmat_log2 tree corpus: prunes to the EMPTY fixpoint (trace
-             anchors [327, 124, 8, 0, ...]).
-  tree_s13 — same at s13: non-empty fixpoint — 12 active vertices,
-             22 active edges, 6 enumerated subgraphs (the conformance
-             anchor the multichip dryrun asserts too).
+  tree_s11  — R-MAT s11 (4-rank stream, unscrambled), degree labels, the
+              rmat_log2 tree corpus: prunes to the EMPTY fixpoint (trace
+              anchors [327, 124, 8, 0, ...]).
+  tree_s13  — same at s13: non-empty fixpoint — 12 active vertices,
+              22 active edges, 6 enumerated subgraphs (the conformance
+              anchor the multichip dryrun asserts too).
+  cycle_s13 — s13 with the examples/patterns_cycle corpus: a triangle
+              template (labels 2, 8, 10) with TWO valid_cycle=1
+              constraints — one nem-style cycle check and one TDS cyclic
+              enumeration — converging in 2 iterations to a non-empty
+              fixpoint (254 vertices, 5500 edges, 109 cyclic subgraphs):
+              the cyclic-acceptance path (nem_1.hpp:736-770, incl. the
+              winning-edge marks) is pinned by golden files, not only by
+              synthetic unit fixtures.
 """
 
 import json
@@ -30,10 +38,13 @@ sys.path.insert(0, REPO)
 
 GOLDEN_BASE = os.path.join(REPO, "examples", "results_golden")
 PATTERN_PREFIX = os.path.join(REPO, "examples", "patterns", "0", "pattern")
+CYCLE_PREFIX = os.path.join(
+    REPO, "examples", "patterns_cycle", "0", "pattern"
+)
 NUM_RANKS = 4
 
 
-def build_config(scale: int):
+def build_config(scale: int, pattern_prefix: str = PATTERN_PREFIX):
     """The golden workload at the given scale: 4-rank unscrambled R-MAT
     stream + degree labels + the tree-pattern corpus (same recipe as
     tests/test_engine_vs_oracle._rmat_s11 and __graft_entry__)."""
@@ -64,8 +75,8 @@ def build_config(scale: int):
     dst = np.concatenate([p[1] for p in parts])
     g = from_edges(src, dst, num_vertices=1 << scale)
     labels = degree_labels(g)
-    pattern = load_pattern_graph(PATTERN_PREFIX)
-    constraints = load_nonlocal_constraints(PATTERN_PREFIX)
+    pattern = load_pattern_graph(pattern_prefix)
+    constraints = load_nonlocal_constraints(pattern_prefix)
     return g, labels, pattern, constraints
 
 
@@ -83,8 +94,12 @@ def main():
     from fuzzypatternmatching_tpu.io.results import write_results
 
     meta = {"num_ranks": NUM_RANKS, "configs": {}}
-    for name, scale in (("tree_s11", 11), ("tree_s13", 13)):
-        g, labels, pattern, constraints = build_config(scale)
+    for name, scale, prefix in (
+        ("tree_s11", 11, PATTERN_PREFIX),
+        ("tree_s13", 13, PATTERN_PREFIX),
+        ("cycle_s13", 13, CYCLE_PREFIX),
+    ):
+        g, labels, pattern, constraints = build_config(scale, prefix)
         print(f"[{name}] V={g.num_vertices} E={g.num_edges}; oracle run...")
         r = zero_seconds(
             MatchOracle(
@@ -102,6 +117,7 @@ def main():
         n_sub = sum(len(v) for v in r.subgraphs.values())
         meta["configs"][name] = {
             "scale": scale,
+            "corpus": os.path.relpath(prefix, REPO),
             "num_vertices": int(g.num_vertices),
             "num_edges": int(g.num_edges),
             "iterations": r.iterations,
