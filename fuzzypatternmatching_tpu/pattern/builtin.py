@@ -31,6 +31,13 @@ RMAT_LOG2_TREE = {
         "6 5 3 1 2 : 0 1 2 3 4 : 0 0 0 0 0\n"
         "0 1 2 1 3 5 4 5 6 : 0 1 2 1 4 5 6 5 8 : 0 1 1 1 1 1 1 1 1\n"
     ),
+    # src dst edge-id value (graph.hpp:209-222); the reference corpus
+    # carries a single value (55) on every pattern edge — with it, a graph
+    # whose edges all carry 55 searches identically to no-metadata mode
+    "pattern_edge_data": (
+        "0 1 0 55\n1 0 0 55\n1 2 1 55\n1 3 2 55\n2 1 1 55\n3 1 2 55\n"
+        "3 5 3 55\n4 5 4 55\n5 3 3 55\n5 4 4 55\n5 6 5 55\n6 5 5 55\n"
+    ),
 }
 
 
