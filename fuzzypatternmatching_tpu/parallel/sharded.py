@@ -342,6 +342,63 @@ class ShardedLccEngine:
         # host copies for the slot-space fast path (alive_pairs et al.)
         self._np_evalid = evalid_s
 
+        # --- measured communication volumes (new_mailbox.hpp send/recv
+        # counter analog): per-device USEFUL entries moved by each of the
+        # three per-superstep all_to_alls, split intra-/cross-device, plus
+        # the wire (padded) slab sizes and the cut-edge fraction. These
+        # are measurements of the constructed exchange index lists — the
+        # exact entries the compiled program moves every superstep.
+        tv_use_cross = np.zeros(n, dtype=np.int64)
+        tv_use_intra = np.zeros(n, dtype=np.int64)
+        for r in range(n):
+            for o in range(n):
+                cnt = len(req_tv[r][o])
+                if o == r:
+                    tv_use_intra[r] += cnt
+                else:
+                    tv_use_cross[r] += cnt
+        al_use_cross = np.zeros(n, dtype=np.int64)
+        al_use_intra = np.zeros(n, dtype=np.int64)
+        cut_edges = np.zeros(n, dtype=np.int64)
+        local_rev = np.zeros(n, dtype=np.int64)
+        for r in range(n):
+            RU, seg_start, rv, rv_ok = rv_meta[r]
+            owners = rv[rv_ok] // ec
+            cut_edges[r] = int(np.sum(owners != r))
+            local_rev[r] = int(np.sum(owners == r))
+            for o in range(n):
+                cnt = seg_start[o + 1] - seg_start[o]
+                if o == r:
+                    al_use_intra[r] += cnt
+                else:
+                    al_use_cross[r] += cnt
+        or_use_cross = np.zeros(n, dtype=np.int64)
+        or_use_intra = np.zeros(n, dtype=np.int64)
+        for r in range(n):
+            for o in range(n):
+                cnt = spans[r][o][1]
+                if o == r:
+                    or_use_intra[r] += cnt
+                else:
+                    or_use_cross[r] += cnt
+        self.comm_stats = {
+            "tv_halo": {
+                "useful_cross": tv_use_cross, "useful_intra": tv_use_intra,
+                "wire_entries_per_device": n * H, "entry_bytes": 4,
+            },
+            "alive_halo": {
+                "useful_cross": al_use_cross, "useful_intra": al_use_intra,
+                "wire_entries_per_device": n * Hrev, "entry_bytes": 1,
+            },
+            "partial_or": {  # two directions: partials in, new_tv back
+                "useful_cross": or_use_cross, "useful_intra": or_use_intra,
+                "wire_entries_per_device": n * K, "entry_bytes": 4,
+                "directions": 2,
+            },
+            "cut_edges": cut_edges,
+            "local_rev_edges": local_rev,
+        }
+
         shard2 = NamedSharding(mesh, P("x", None))
         shard3 = NamedSharding(mesh, P("x", None, None))
         ops = [
