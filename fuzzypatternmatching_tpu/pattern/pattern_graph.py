@@ -158,6 +158,16 @@ def load_pattern_graph(pattern_prefix: str) -> PatternGraph:
 
     ``pattern_prefix`` is e.g. ``<dir>/0/pattern`` — matching the driver's
     naming (run_pattern_matching_beta.cpp:433-441).
+
+    ``<prefix>_vertex`` is deliberately NOT read: every shipped reference
+    driver passes ``_edge`` first, selecting the pattern_graph_csr /
+    ::graph constructors whose ``read_vertex_list`` call is commented out
+    (pattern_graph.hpp:62, 96; graph.hpp:62) — the vertex list is always
+    regenerated from the edge list (``generate_vertex_list``). The
+    explicit-vertex-list reader (graph.hpp:165-178) is reachable only
+    through the vertex-file-first constructor no driver invokes, and the
+    corpus ships an empty ``pattern_vertex``. Deriving vertices from
+    edges here is therefore behaviorally exact, not an approximation.
     """
     edge_rows = _read_tokens(pattern_prefix + "_edge")
     srcs = np.array([int(r[0]) for r in edge_rows], dtype=np.int64)
