@@ -14,13 +14,18 @@ partition + delegate replication for hubs, delegate_partitioned_graph.ipp:
   (owner = v // block) — the same owner function the distributed NLCC
   router uses.
 * **Boundary (halo) exchange, not replication.** Each superstep moves only
-  (i) the tv of vertices appearing in this device's column/row lists,
-  (ii) the alive flags of this device's cut reverse-edges, (iii) the
-  per-row partial ORs to/from vertex owners — all via ``all_to_all`` with
-  send/recv index lists precomputed at construction (static shapes, pure
-  gathers/scatters around each exchange). Per-device memory and ICI
-  traffic are O((V+E)/n + cut), not O(V+E) as a full ``all_gather`` of tv
-  and edge flags would be.
+  (i) the tv of this device's own (contiguous) row range, (ii) a
+  per-slot PAYLOAD word (alive bit | row tv) of this device's reverse
+  edges — the bucketed plane's one-gather trick in distributed form:
+  payload[rev(s)] delivers both the sender's candidates tv[col(s)] and
+  the sender-side alive flag through a single permutation gather — and
+  (iii) the per-row partial ORs to/from vertex owners. All via
+  ``all_to_all`` with send/recv index lists precomputed at construction
+  (static shapes). Per-device memory and ICI traffic are
+  O((V+E)/n + cut), not O(V+E) as a full ``all_gather`` of tv and edge
+  flags would be. At n=1 the identity-permutation exchanges collapse to
+  pads, leaving ONE E-sized gather per superstep (payload[rev]) — the
+  measured issue-rate floor of this stack (docs/ROOFLINE.md).
 * convergence counters are ``psum``s (replacing the MPI tree termination
   detection, termination_detection.hpp:96-233).
 
@@ -165,14 +170,19 @@ class ShardedLccEngine:
             if cnt < ec:
                 segstart_s[r, cnt] = True  # isolate the pad tail
 
-        # --- tv halo: per chunk, the unique vertices whose tv it reads
-        # (columns + own row range); request lists per owner ---------------
+        # --- row-tv halo: per chunk, ONLY its own (contiguous) row range.
+        # Column tv is NOT exchanged: the payload halo below delivers
+        # tv[col(s)] as the row-tv of the reverse edge's owning row — the
+        # same one-gather payload trick the bucketed plane uses
+        # (lcc_bucketed.py), which removes the E-sized tvH[colmap]
+        # permutation gather the round-3 superstep still paid
+        # (docs/ROOFLINE.md "gather wall").
         H = 1
         req_tv = []  # per (dest r): per owner o, np.ndarray of vertex ids
-        u_meta = []  # per r: (U, seg_start) for colmap/rowmap construction
+        u_meta = []  # per r: (U, seg_start) for rowmap construction
         for r in range(n):
             rows_range = np.arange(rowstart[r], rowend[r] + 1, dtype=np.int64)
-            U = np.unique(np.concatenate([col_chunks[r], rows_range]))
+            U = rows_range
             owners = U // b
             seg_start = np.searchsorted(owners, np.arange(n + 1))
             req = [U[seg_start[o] : seg_start[o + 1]] for o in range(n)]
@@ -185,20 +195,16 @@ class ShardedLccEngine:
             for o in range(n):
                 q = req_tv[r][o]
                 sendidx_tv[o, r, : len(q)] = q - o * b
-        colmap = np.full((n, ec), n * H, dtype=np.int32)
         rowmap = np.full((n, rmax), n * H, dtype=np.int32)
         for r in range(n):
             U, seg_start = u_meta[r]
-            owners_of = lambda x: x // b
-            # position of vertex x in the flattened recv layout
-            def recv_pos(x):
-                o = owners_of(x)
-                ui = np.searchsorted(U, x)
-                return o * H + (ui - seg_start[o])
-            cc = col_chunks[r]
-            colmap[r, : len(cc)] = recv_pos(cc)
             rows_range = np.arange(rowstart[r], rowend[r] + 1, dtype=np.int64)
-            rowmap[r, : len(rows_range)] = recv_pos(rows_range)
+            o_r = rows_range // b
+            ui = np.searchsorted(U, rows_range)
+            rowmap[r, : len(rows_range)] = o_r * H + (ui - seg_start[o_r])
+        # at n=1 the request list is the identity (all rows): the
+        # exchange (and its V-sized index gather) collapses to a pad
+        self._tv_identity = n == 1
 
         # --- rev-edge alive halo: per chunk, the alive flags of the
         # reverse edges of its slots (the cut edges) ------------------------
@@ -229,6 +235,15 @@ class ShardedLccEngine:
                 o = rv[rv_ok] // ec
                 ui = np.searchsorted(RU, rv[rv_ok])
                 revmap[r, : len(rv)][rv_ok] = o * Hrev + (ui - seg_start[o])
+        # at n=1 with a fully-symmetrized graph the request list is the
+        # identity permutation of the slot space: the sender-side
+        # payload_pad[sendidx] gather (an E-sized serialized gather on
+        # TPU) can be skipped — the send buffer IS the payload array
+        RU0 = rv_meta[0][0]
+        self._al_identity = n == 1 and (
+            len(RU0) == 0
+            or bool(np.array_equal(RU0, np.arange(len(RU0), dtype=RU0.dtype)))
+        )
 
         # --- partial-OR exchange: chunk r's rows grouped by tv owner
         # (contiguous ranges; sendrows gathers partials, ridx places them
@@ -404,7 +419,6 @@ class ShardedLccEngine:
         ops = [
             jax.device_put(lrow_s, shard2),
             jax.device_put(evalid_s, shard2),
-            jax.device_put(colmap, shard2),
             jax.device_put(rowmap, shard2),
             jax.device_put(revmap, shard2),
             jax.device_put(sendidx_tv, shard3),
@@ -415,7 +429,7 @@ class ShardedLccEngine:
             jax.device_put(lab_pad.reshape(n, b), shard2),
             jax.device_put(rowstart.reshape(n, 1).astype(np.int32), shard2),
         ]
-        self.label_tv = ops[10]
+        self.label_tv = ops[9]
         if mc_s is not None:
             ops.append(jax.device_put(mc_s, shard2))
             ops.append(jax.device_put(init_rowtv, shard2))
@@ -555,10 +569,10 @@ class ShardedLccEngine:
         flag_loc = tp_flag[0]
         ops_loc = [o[0] for o in ops]
         (
-            lrow, evalid, colmap, rowmap, revmap, sendidx_tv, sendidx_al,
+            lrow, evalid, rowmap, revmap, sendidx_tv, sendidx_al,
             sendrows, ridx, adj_code, label_tv_own, rowstart,
-        ) = ops_loc[:12]
-        pos = 12
+        ) = ops_loc[:11]
+        pos = 11
         if meta:
             mc, init_rowtv = ops_loc[pos], ops_loc[pos + 1]
             pos += 2
@@ -619,24 +633,71 @@ class ShardedLccEngine:
             rowtv = init_rowtv if meta else None
             mask_slots = init_slotmask  # precomputed: no [lrow] gather
         else:
-            # --- tv halo: only the boundary values this chunk reads move
-            tv_pad = jnp.concatenate([tv_loc, jnp.zeros(1, jnp.uint32)])
-            recv = jax.lax.all_to_all(
-                tv_pad[sendidx_tv], "x", split_axis=0, concat_axis=0
-            )
-            tvH = jnp.concatenate(
-                [recv.reshape(-1), jnp.zeros(1, jnp.uint32)]
-            )
-            p_bits = tvH[colmap]
-            # --- cut-edge alive halo: rev flags of this chunk's edges
-            al_pad = jnp.concatenate([alive_loc, jnp.zeros(1, bool)])
-            recva = jax.lax.all_to_all(
-                al_pad[sendidx_al], "x", split_axis=0, concat_axis=0
-            )
-            alH = jnp.concatenate([recva.reshape(-1), jnp.zeros(1, bool)])
-            send_ok = (p_bits != 0) & alH[revmap] & evalid
-            p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
+            # --- row-tv halo: only this chunk's CONTIGUOUS row range
+            # moves (column tv arrives via the payload exchange below)
+            if self._tv_identity:
+                szH = n * self.halo_h
+                base = (
+                    tv_loc[:szH]
+                    if tv_loc.shape[0] >= szH
+                    else jnp.concatenate(
+                        [tv_loc,
+                         jnp.zeros(szH - tv_loc.shape[0], jnp.uint32)]
+                    )
+                )
+                tvH = jnp.concatenate([base, jnp.zeros(1, jnp.uint32)])
+            else:
+                tv_pad = jnp.concatenate([tv_loc, jnp.zeros(1, jnp.uint32)])
+                recv = jax.lax.all_to_all(
+                    tv_pad[sendidx_tv], "x", split_axis=0, concat_axis=0
+                )
+                tvH = jnp.concatenate(
+                    [recv.reshape(-1), jnp.zeros(1, jnp.uint32)]
+                )
             rowtv = tvH[rowmap]
+            # --- payload halo (the bucketed plane's one-gather trick in
+            # distributed form): per slot t = (v -> u), the payload word
+            # (alive(t) << 31 | tv[v]) built on t's OWNER with streaming
+            # scans; the receiver of the reverse edge s reads
+            # payload[rev(s)] = (alive[rev(s)], tv[col(s)]) in ONE
+            # permutation gather instead of the former three
+            # (tvH[colmap], al_pad[sendidx], alH[revmap])
+            rowbits_slots = seg_bcast(rowtv)
+            payload_loc = (
+                jnp.where(
+                    alive_loc, jnp.uint32(0x80000000), jnp.uint32(0)
+                )
+                | rowbits_slots
+            )
+            if self._al_identity:
+                szA = n * self.halo_hrev
+                base = (
+                    payload_loc[:szA]
+                    if payload_loc.shape[0] >= szA
+                    else jnp.concatenate(
+                        [payload_loc,
+                         jnp.zeros(szA - payload_loc.shape[0], jnp.uint32)]
+                    )
+                )
+                plH = jnp.concatenate([base, jnp.zeros(1, jnp.uint32)])
+            else:
+                pl_pad = jnp.concatenate(
+                    [payload_loc, jnp.zeros(1, jnp.uint32)]
+                )
+                recva = jax.lax.all_to_all(
+                    pl_pad[sendidx_al], "x", split_axis=0, concat_axis=0
+                )
+                plH = jnp.concatenate(
+                    [recva.reshape(-1), jnp.zeros(1, jnp.uint32)]
+                )
+            p = plH[revmap]
+            p_bits = p & jnp.uint32(0x7FFFFFFF)
+            send_ok = (
+                (p_bits != 0)
+                & (p >= jnp.uint32(0x80000000))
+                & evalid
+            )
+            p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
             mask_slots = seg_bcast(self._or_over_bits(rowtv))
 
         if meta:
@@ -798,7 +859,7 @@ class ShardedLccEngine:
         n, b, ec, rmax = self.n, self.block, self.ec, self.rmax
         elems = (
             2 * b  # tv block + label-tv block
-            + 9 * ec  # alive/flag/lrow/evalid/colmap/revmap/code/segstart
+            + 8 * ec  # alive/flag/lrow/evalid/revmap/code/segstart
             #           /init_slotmask
             + 3 * rmax  # rowmap + first_slot + last_slot
             + n * (self.halo_h + self.halo_hrev + 2 * self.halo_k)
