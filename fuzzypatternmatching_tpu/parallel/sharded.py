@@ -1078,6 +1078,29 @@ class ShardedLccEngine:
     ):
         if n_steps is None:
             n_steps = self.p.diameter
+        # Compile-size guard: one traced program per scan length, and the
+        # XLA TPU compiler's memory grows super-linearly in the unrolled
+        # shard_map superstep count — an 8-step scan of this superstep
+        # exceeds the remote compile helper's limits at s21 (SIGKILL).
+        # Chunk long calls into <= FPM_MESH_MAX_SCAN_STEPS-step programs;
+        # the extra host round trips are negligible against the
+        # multi-second full-graph supersteps this path exists for.
+        import os
+
+        max_scan = int(os.environ.get("FPM_MESH_MAX_SCAN_STEPS", "4"))
+        if n_steps > max_scan:
+            rows_all = []
+            died_any = False
+            first = global_init_step
+            left = n_steps
+            while left > 0:
+                take = min(left, max_scan)
+                state, rows, died = self.lcc_call(state, first, take)
+                rows_all += rows
+                died_any = died_any or died
+                first = False
+                left -= take
+            return state, rows_all, died_any
         state = self._materialize(state)
         tv, alive, flag = state.tv, state.edge_alive, state.tp_flag
         if global_init_step:
