@@ -584,41 +584,58 @@ class ShardedLccEngine:
         ]
 
         # --- segmented primitives over the chunk's CSR-sorted slots -------
-        # One work-efficient associative scan (vectorized slices on TPU)
-        # replaces E-sized segment_max/segment_sum scatters and
+        # Formulated as cumsum/cummax primitives (one vectorized pass
+        # each) instead of E-sized segment_max/segment_sum scatters and
         # table[lrow] gathers, which XLA serializes per element on this
-        # target (docs/ROOFLINE.md "gather wall"). first/last_slot are
-        # rmax-sized static-index ops.
+        # target (docs/ROOFLINE.md "gather wall") — and instead of a
+        # tuple-carrier ``associative_scan``, whose unrolled lowering
+        # exhausts the TPU compiler at s21 (the remote compile helper
+        # SIGKILLs even the 1-superstep program). Trick: with C = the
+        # 1-based segment ordinal per slot (a cumsum of the head flags),
+        # ``cummax((C << 1) | bit)`` computes a per-segment RUNNING OR of
+        # a bit plane — an earlier segment's packed value is always
+        # smaller, so each segment restarts its own maximum. ≤16-bit
+        # bitsets need ≤16 such passes. first/last_slot are rmax-sized
+        # static-index ops.
 
-        def _seg_scan(vals, op):
-            def comb(a, b):
-                f1, v1 = a
-                f2, v2 = b
-                return f1 | f2, jnp.where(f2, v2, op(v1, v2))
+        seg_ord = jnp.cumsum(seg_start.astype(jnp.int32))
 
-            _f, acc = jax.lax.associative_scan(comb, (seg_start, vals))
-            return acc
+        def _run_or_bits(vals, nbits):
+            """Per-slot running OR (within segment) of a uint32 bitset."""
+            out = jnp.zeros(ec, dtype=jnp.uint32)
+            base = seg_ord << 1
+            for i in range(nbits):
+                plane = ((vals >> i) & 1).astype(jnp.int32)
+                m = jax.lax.cummax(base | plane)
+                out = out | ((m & 1).astype(jnp.uint32) << i)
+            return out
 
         def _tail(acc):
             return jnp.concatenate([acc, jnp.zeros(1, acc.dtype)])[last_slot]
 
-        def seg_or(bits):
+        def seg_or(bits, nbits=None):
             """Per-local-row OR of uint32 bitsets ([ec] -> [rmax])."""
-            return _tail(_seg_scan(bits, jnp.bitwise_or))
+            return _tail(_run_or_bits(bits, nbits or self.k))
 
         def seg_sum(vals):
-            """Per-local-row sum ([ec] -> [rmax])."""
-            return _tail(_seg_scan(vals, jnp.add))
+            """Per-local-row sum ([ec] -> [rmax]) via prefix-sum
+            differences at the static first/last positions."""
+            s_inc = jnp.cumsum(vals.astype(jnp.int32))
+            s_exc = s_inc - vals.astype(jnp.int32)
+            s_inc_p = jnp.concatenate([s_inc, jnp.zeros(1, jnp.int32)])
+            s_exc_p = jnp.concatenate([s_exc, jnp.zeros(1, jnp.int32)])
+            return s_inc_p[last_slot] - s_exc_p[first_slot]
 
-        def seg_bcast(row_vals):
+        def seg_bcast(row_vals, nbits=None):
             """Per-row values spread along each row's slots
-            ([rmax] -> [ec]): set at segment heads, propagate by scan."""
+            ([rmax] -> [ec]): set at segment heads, fill forward with the
+            running OR (only the head carries bits in each segment)."""
             heads = (
-                jnp.zeros(ec, dtype=row_vals.dtype)
+                jnp.zeros(ec, dtype=jnp.uint32)
                 .at[first_slot]
-                .set(row_vals, mode="drop")
+                .set(row_vals.astype(jnp.uint32), mode="drop")
             )
-            return _seg_scan(heads, lambda a, b: a)
+            return _run_or_bits(heads, nbits or self.k)
 
         if init:
             tv_loc = label_tv_own
@@ -715,7 +732,7 @@ class ShardedLccEngine:
             pa = jnp.where(accept, p_bits, jnp.uint32(0))
             # accept-any plane rides the exchange as column K (in_map);
             # OR == max on 0/1 values
-            acc_any = seg_or(accept.astype(jnp.uint32))
+            acc_any = seg_or(accept.astype(jnp.uint32), nbits=1)
             stack = jnp.stack(tn_cols + [acc_any], axis=1)  # [rmax, K+1]
         else:
             accept = (p_bits & mask_slots) != 0
@@ -804,7 +821,7 @@ class ShardedLccEngine:
         for o in range(n):
             row_tv = row_tv.at[sendrows[o]].set(recvr[o], mode="drop")
 
-        row_live = seg_bcast(row_tv) != 0
+        row_live = seg_bcast((row_tv != 0), nbits=1) != 0
         if init:
             new_alive = accept & row_live
         else:
