@@ -82,6 +82,13 @@ class BucketedState:
     # bit-packed (tv != 0), produced in-program — the only download the
     # production init superstep needs (V/8 bytes)
     live_packed: jax.Array | None = None
+    # recon-eligible init calls return tv as per-bucket SEG-ordered parts
+    # (tv is None then): the V-sized seg_all[inv_perm] exit gather — a
+    # measured 16 ms at s21 (BENCH_INIT_DECOMPOSE.json) — is skipped and
+    # paid lazily only if a later full call actually consumes vertex-
+    # ordered tv. live_packed is then in seg order too.
+    tv_segs: tuple | None = None
+    live_seg_order: bool = False
 
 
 class BucketedLccEngine:
@@ -215,6 +222,38 @@ class BucketedLccEngine:
         inv = np.full(v, len(seg_concat), dtype=np.int64)
         inv[seg_concat] = np.arange(len(seg_concat))
         self._inv_perm = jnp.asarray(inv, dtype=jnp.int32)
+        self._seg_concat = seg_concat  # host map: seg position -> vertex
+        # init-superstep seg-space constants: at the global init step
+        # tv == label_tv, so tv[seg_rows] and its valid-parent OR mask
+        # are pure functions of the labels — precomputed here, they
+        # remove the V-sized entry gather from the init superstep
+        # (measured 9 ms at s21, BENCH_INIT_DECOMPOSE.json)
+        adj_all_np = np.asarray(pattern.edges_bitset_all, dtype=np.uint32)
+
+        def _or_bits_np(tv_np):
+            m = np.zeros_like(tv_np)
+            for i in range(pattern.vertex_count):
+                m |= np.where((tv_np >> i) & 1 != 0, adj_all_np[i], 0).astype(
+                    np.uint32
+                )
+            return m
+
+        lab_tv_np = pattern.label_match_bitset(np.asarray(labels)).astype(
+            np.uint32
+        )
+        self._init_tv_seg = [
+            jnp.asarray(lab_tv_np[b.seg_rows]) for b in self.buckets
+        ]
+        self._init_adjmask_seg = [
+            jnp.asarray(_or_bits_np(lab_tv_np[b.seg_rows]))
+            for b in self.buckets
+        ]
+        # lazy seg -> vertex-order materializer (the skipped exit gather)
+        self._seg2v = jax.jit(
+            lambda parts: jnp.concatenate(
+                list(parts) + [jnp.zeros(1, dtype=jnp.uint32)]
+            )[self._inv_perm]
+        )
         self._dev = [
             (
                 jnp.asarray(b.rows, dtype=jnp.int32),
@@ -303,6 +342,30 @@ class BucketedLccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
+    def _tv_device(self, state: "BucketedState"):
+        """Vertex-ordered device tv; materializes lazily from the
+        seg-space parts a recon-init call returned (paying the skipped
+        inv_perm gather only when actually consumed)."""
+        if state.tv is None and state.tv_segs is not None:
+            state.tv = self._seg2v(state.tv_segs)
+        return state.tv
+
+    def _live_host(self, state: "BucketedState") -> np.ndarray:
+        """V-bool live-row bitmap from the packed download; recon-init
+        states carry it in seg order (position = bucket seg slot), so
+        scatter through the seg->vertex map. Vertices outside every
+        bucket (degree 0) are never live after the init superstep."""
+        if state.live_seg_order:
+            bits = np.unpackbits(
+                np.asarray(state.live_packed), count=len(self._seg_concat)
+            ).view(bool)
+            live = np.zeros(self.num_vertices, dtype=bool)
+            live[self._seg_concat] = bits
+            return live
+        return np.unpackbits(
+            np.asarray(state.live_packed), count=self.num_vertices
+        ).view(bool)
+
     def _recon_pairs(self, state: "BucketedState"):
         """Rebuild the alive (row, col) pairs after the global init
         superstep from the V-bit live-row bitmap (engine/init_recon.py,
@@ -311,9 +374,7 @@ class BucketedLccEngine:
         back to the packed download)."""
         from .init_recon import recon_pairs
 
-        live = np.unpackbits(
-            np.asarray(state.live_packed), count=self.num_vertices
-        ).view(bool)
+        live = self._live_host(state)
         out = recon_pairs(self.graph, self.p, self._label_tv_np, live)
         return None if out is None else out[:2]
 
@@ -355,7 +416,8 @@ class BucketedLccEngine:
         weights = (1 << jnp.arange(16, dtype=jnp.uint32))[None, :]
         return jnp.sum(seg.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32)
 
-    def _superstep(self, tv, alive, tp_flag, bucket_arrays, consts, *, init: bool):
+    def _superstep(self, tv, alive, tp_flag, bucket_arrays, consts, *,
+                   init: bool, seg_out: bool = False):
         owner, inv_perm = consts["owner"], consts["inv_perm"]
         new_tv_parts = []  # per-bucket seg outputs; combined by one gather
         new_alive_parts = []
@@ -409,8 +471,14 @@ class BucketedLccEngine:
             n_seg = len(bkt.seg_rows)
             split = n_seg != n
             base = bkt.slot_base  # static python int
-            tv_seg = tv[seg_rows]  # per-vertex candidates [n_seg]
-            adj_mask_seg = self._or_over_bits(tv_seg)
+            if init and "init_tv_seg" in consts:
+                # tv == label_tv at the global init step: both the seg
+                # gather and its OR mask are precomputed constants
+                tv_seg = consts["init_tv_seg"][bi]
+                adj_mask_seg = consts["init_adjmask_seg"][bi]
+            else:
+                tv_seg = tv[seg_rows]  # per-vertex candidates [n_seg]
+                adj_mask_seg = self._or_over_bits(tv_seg)
             if init:
                 # tv == label_tv at init: rebuild the neighbor bitsets from
                 # the precomputed label codes (a few selects; padding and
@@ -566,6 +634,15 @@ class BucketedLccEngine:
         new_alive_flat = jnp.concatenate(
             new_alive_parts + [jnp.zeros(1, dtype=bool)]
         )
+        if seg_out:
+            # caller keeps the result in seg space; the inv_perm gather
+            # is paid lazily only if vertex order is actually consumed
+            return (
+                tuple(new_tv_parts),
+                new_alive_flat,
+                jnp.zeros_like(tp_flag),
+                (av_r, ae_r, msg_r, died),
+            )
         # single inverse-permutation gather instead of per-bucket scatters
         # (TPU scatters serialize; gathers vectorize)
         seg_all = jnp.concatenate(
@@ -581,13 +658,45 @@ class BucketedLccEngine:
 
     # ------------------------------------------------------------------
 
-    def _get_call(self, init: bool, n_steps: int):
-        key = (init, n_steps)
+    def _get_call(self, init: bool, n_steps: int, seg_out: bool = False):
+        key = (init, n_steps, seg_out)
         if key not in self._call_cache:
-            self._call_cache[key] = jax.jit(
-                partial(self._call_impl, init=init, n_steps=n_steps)
+            fn = (
+                partial(self._call_init1_seg)
+                if seg_out
+                else partial(self._call_impl, init=init, n_steps=n_steps)
             )
+            self._call_cache[key] = jax.jit(fn)
         return self._call_cache[key]
+
+    def _call_init1_seg(self, tv, alive, flag, bucket_arrays, consts):
+        """The production init call (global init superstep, n_steps=1,
+        recon-eligible): result stays in SEG space and only the
+        seg-ordered live bitmap + counters are prepared for download.
+        Removes, vs the generic program (BENCH_INIT_DECOMPOSE.json): the
+        V-sized entry gather (precomputed constants), the V-sized
+        inv_perm exit gather, and the S-bit packbits(alive) transfer
+        mirror (the host reconstruction never pulls it; a later explicit
+        request packs on demand via self._pack)."""
+        tv_parts, alive2, flag2, st = self._superstep(
+            tv, alive, flag, bucket_arrays, consts, init=True, seg_out=True
+        )
+        av, ae, msg, died = st
+        stats = jnp.concatenate(
+            [av, ae, msg, died.astype(jnp.int32).reshape(1)]
+        )
+        s = stats.reshape(-1)
+        stat_bytes = jnp.stack(
+            [((s >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(4)],
+            axis=1,
+        ).reshape(-1)
+        seg_all = (
+            jnp.concatenate(tv_parts)
+            if tv_parts
+            else jnp.zeros(0, jnp.uint32)
+        )
+        combo = jnp.concatenate([stat_bytes, jnp.packbits(seg_all != 0)])
+        return tv_parts, alive2, flag2, combo
 
     def _call_impl(
         self, tv, alive, flag, bucket_arrays, consts, *, init: bool,
@@ -677,7 +786,7 @@ class BucketedLccEngine:
             edge_alive = np.zeros(self.graph.num_edges, dtype=bool)
             edge_alive[state.lazy_edge_ids] = True
             return state.tv_np.copy(), edge_alive
-        tv = np.asarray(state.tv)
+        tv = np.asarray(self._tv_device(state))
         packed = np.asarray(
             state.packed if state.packed is not None else self._pack(state.alive)
         )
@@ -693,7 +802,7 @@ class BucketedLccEngine:
         if state.recon_init:
             state.tv_np = self._recon_tv(state)
             return state.tv_np
-        return np.asarray(state.tv)
+        return np.asarray(self._tv_device(state))
 
     def alive_pairs(self, state: BucketedState):
         """(row, col) arrays of currently-alive slots, in CSR order within
@@ -813,19 +922,36 @@ class BucketedLccEngine:
         if n_steps is None:
             n_steps = self.p.diameter
         state = self._materialize(state)
-        call = self._get_call(global_init_step, n_steps)
+        recon_ok = (
+            global_init_step
+            and n_steps == 1
+            and self.meta_allow is None
+            and not self.counting
+        )
+        call = self._get_call(global_init_step, n_steps, seg_out=recon_ok)
         consts = {
             "owner": self.owner,
             "inv_perm": self._inv_perm,
             "label_tv": self.label_tv,
+            "init_tv_seg": self._init_tv_seg,
+            "init_adjmask_seg": self._init_adjmask_seg,
         }
         if self._meta_dev is not None:
             consts["meta"] = self._meta_dev
         if self._class_dev is not None:
             consts["cls"] = self._class_dev
-        tv, alive, flag, packed, combo = call(
-            state.tv, state.alive, state.tp_flag, self._dev, consts
-        )
+        if recon_ok:
+            tv_segs, alive, flag, combo = call(
+                state.tv if state.tv is not None else self.label_tv,
+                state.alive, state.tp_flag, self._dev, consts,
+            )
+            tv, packed = None, None
+        else:
+            tv, alive, flag, packed, combo = call(
+                self._tv_device(state), state.alive, state.tp_flag,
+                self._dev, consts,
+            )
+            tv_segs = None
         # ONE D2H pull: the call's counters + the packed live-row bitmap
         rr = self.num_ranks
         combo_np = np.asarray(combo)
@@ -852,11 +978,7 @@ class BucketedLccEngine:
             )
         any_died = bool((st[:, -1] != 0).any())
         out = BucketedState(tv, alive, flag, packed=packed,
-                            live_packed=live_packed)
-        out.recon_init = (
-            global_init_step
-            and n_steps == 1
-            and self.meta_allow is None
-            and not self.counting
-        )
+                            live_packed=live_packed,
+                            tv_segs=tv_segs, live_seg_order=recon_ok)
+        out.recon_init = recon_ok
         return out, rows, any_died

@@ -125,13 +125,18 @@ def test_init_tv_host_reconstruction(tmp_path):
         assert st.recon_init
         assert st.tv_np is None
         recon = ell.tv_host(st)
-        assert np.array_equal(recon, np.asarray(st.tv))
+        # recon-init states carry tv in SEG space (the inv_perm exit
+        # gather is skipped); _tv_device materializes vertex order lazily
+        assert st.tv is None and st.tv_segs is not None
+        assert np.array_equal(recon, np.asarray(ell._tv_device(st)))
         # alive pairs rebuilt from the live-row bitmap == device alive set
         from fuzzypatternmatching_tpu.engine.lcc_bucketed import BucketedState
 
         got = ell.alive_pairs(st)
         ref = ell.alive_pairs(
-            BucketedState(st.tv, st.alive, st.tp_flag, packed=st.packed)
+            BucketedState(
+                ell._tv_device(st), st.alive, st.tp_flag, packed=st.packed
+            )
         )
         assert np.array_equal(got[0], ref[0])
         assert np.array_equal(got[1], ref[1])
