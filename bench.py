@@ -133,7 +133,9 @@ def main():
     # floor is. The legacy ratio is the repo's own round-1 run
     # (BENCH_BASELINE.json) — the reference publishes no numbers and its
     # MPI build is unavailable here (BASELINE.md) — label it as such.
-    floor_s = 0.083 if scale == 21 else None  # BENCH_GATHER_AB.json
+    # 48 ms: the seg-space init program, measured warm best-of-5 (round 4;
+    # was 83 ms before the BENCH_INIT_DECOMPOSE.json-guided cuts)
+    floor_s = 0.048 if scale == 21 else None
     extra = {}
     if floor_s is not None:
         extra = {
