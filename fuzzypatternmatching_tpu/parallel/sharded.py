@@ -715,17 +715,12 @@ class ShardedLccEngine:
                 & evalid
             )
             p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
-            # or_over_bits is elementwise and row-constant, so it commutes
-            # with the broadcast: reuse the payload's rowbits_slots and
-            # skip a second k-pass seg_bcast
-            mask_slots = self._or_over_bits(rowbits_slots)
+            mask_slots = seg_bcast(self._or_over_bits(rowtv))
 
         if meta:
             # per-slot allowed-parent masks (the slot's metadata code
-            # selects the allow row); tn accumulated per receiver bit.
-            # The continuation superstep already broadcast the receiver's
-            # bits for the payload — reuse them.
-            rowbits = seg_bcast(rowtv) if init else rowbits_slots
+            # selects the allow row); tn accumulated per receiver bit
+            rowbits = seg_bcast(rowtv)  # receiver's current bits per slot
             mask = jnp.zeros_like(p_bits)
             tn_cols = []
             for i in range(self.k):
