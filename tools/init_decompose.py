@@ -81,7 +81,8 @@ def main():
     ]
     seg_tv_dev = [jnp.asarray(x) for x in seg_tv_np]
 
-    def make_variant(entry_const: bool, exit_perm: bool, pack: bool):
+    def make_variant(entry_const: bool, exit_perm: bool, pack: bool,
+                     counters: bool = True, alive_path: bool = True):
         def call(tv, alive, flag, bucket_arrays, consts, seg_consts):
             if entry_const:
                 tv_in = _TvShim(
@@ -95,7 +96,9 @@ def main():
             tv2, alive2, _flag2, st = eng._superstep(
                 tv_in, alive, flag, bucket_arrays, consts, init=True
             )
-            out = [jnp.packbits(alive2)] if pack else []
+            out = []
+            if pack and alive_path:
+                out.append(jnp.packbits(alive2))
             if pack:
                 # live-rows bitmap: over tv2 when the exit gather is
                 # kept, over a same-sized stand-in when ablated (cost
@@ -103,7 +106,15 @@ def main():
                 out.append(jnp.packbits((tv2 if exit_perm else tv) != 0))
             if exit_perm and not pack:
                 out.append(tv2)
-            out.append(st[0])
+            if counters:
+                # av only: ae/msg (and new_alive when alive_path=False)
+                # dead-code-eliminate
+                out.append(st[0])
+                if alive_path:
+                    out.append(st[1])
+                    out.append(st[2])
+            elif not out:
+                out.append(tv2)
             return tuple(out)
 
         return jax.jit(call)
@@ -114,11 +125,22 @@ def main():
         "no_entry_seg": (True, True, True),
         "neither": (True, False, True),
         "no_pack": (False, True, False),
+        # residual-core ablations (round-4 second pass)
+        "no_counters": (False, True, True, False),
+        "no_alive_path": (False, True, True, True, False),
+        "tv_only": (True, False, False, False, False),
     }
+    want = os.environ.get("INIT_DECOMPOSE_VARIANTS")
+    if want:
+        VARIANTS = {k: v for k, v in VARIANTS.items() if k in want.split(",")}
     st0 = eng.init_state()
     results = {}
-    for name, (ec_, ep_, pk_) in VARIANTS.items():
-        fn = make_variant(ec_, ep_, pk_)
+    prev_path = os.path.join(REPO, "BENCH_INIT_DECOMPOSE.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            results.update(json.load(f).get("variants", {}))
+    for name, spec in VARIANTS.items():
+        fn = make_variant(*spec)
         log(f"[{name}] compile...")
         t0 = time.time()
         out = fn(consts["label_tv"], st0.alive, st0.tp_flag, eng._dev,
