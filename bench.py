@@ -74,6 +74,44 @@ def build_or_load_graph(scale: int):
     return g, labels
 
 
+# Pinned conformance anchors per (scale, tree-corpus) workload. These are
+# the oracle-verified fixpoints (CLAUDE.md "Search results" note; golden
+# trees in examples/results_golden/). A bench run whose warm-up search
+# diverges from them is a SEMANTIC regression, not a perf datum — fail
+# loudly instead of emitting a plausible-looking JSON line (round-4
+# verdict item 5). Keys absent for a scale mean "not yet pinned"; pin
+# new scales as they are first measured + cross-checked.
+ANCHORS = {
+    21: {
+        "active_vertices": 147,
+        "active_edges": 262,
+        "subgraphs": 74,
+        "traversed_edges": 13207467,
+    },
+    # s22/s23: pinned when re-measured this round (the round-4 numbers
+    # recorded only rounded traversed counts) — see tools/sweep.py cells.
+}
+
+
+def check_anchors(scale, r):
+    anchors = ANCHORS.get(scale)
+    if anchors is None:
+        log(f"  (no pinned anchors for s{scale}; skipping conformance check)")
+        return
+    got = {
+        "active_vertices": len(r.active_vertices),
+        "active_edges": len(r.active_edges),
+        "subgraphs": sum(len(v) for v in r.subgraphs.values()),
+        "traversed_edges": r.traversed_edges,
+    }
+    bad = {k: (got[k], v) for k, v in anchors.items() if got[k] != v}
+    if bad:
+        log(f"ANCHOR MISMATCH at s{scale}: {bad} (got, expected)")
+        log("refusing to emit a bench number for a semantically wrong search")
+        sys.exit(1)
+    log(f"  anchors OK: {anchors}")
+
+
 def main():
     scale = int(os.environ.get("BENCH_SCALE", "21"))
     g, labels = build_or_load_graph(scale)
@@ -92,6 +130,7 @@ def main():
         f"traversed={r.traversed_edges}, active={len(r.active_vertices)}, "
         f"subgraphs={sum(len(v) for v in r.subgraphs.values())}"
     )
+    check_anchors(scale, r)
     # three measured runs, best taken: single measurements on this box are
     # sensitive to transient host-CPU / relay-tunnel contention (observed
     # 3x spread between contended and clean runs of identical code)
@@ -133,13 +172,31 @@ def main():
     # floor is. The legacy ratio is the repo's own round-1 run
     # (BENCH_BASELINE.json) — the reference publishes no numbers and its
     # MPI build is unavailable here (BASELINE.md) — label it as such.
-    # 48 ms: the seg-space init program, measured warm best-of-5 (round 4;
-    # was 83 ms before the BENCH_INIT_DECOMPOSE.json-guided cuts)
-    floor_s = 0.048 if scale == 21 else None
+    # The floor is the measured production init-superstep compute at this
+    # scale, read from BENCH_INIT_DECOMPOSE.json's "production_floor"
+    # section (written by tools/init_decompose.py, stamped with the
+    # measurement commit) so it cannot silently go stale (advisor round-4
+    # low finding). Fallback: the round-4 hand-measured 48 ms at s21.
+    floor_s, floor_note = None, None
+    decomp_file = os.path.join(REPO, "BENCH_INIT_DECOMPOSE.json")
+    if os.path.exists(decomp_file):
+        try:
+            with open(decomp_file) as f:
+                decomp = json.load(f)
+            pf = decomp.get("production_floor", {}).get(str(scale))
+            if pf:
+                floor_s = pf["best_ms"] / 1e3
+                floor_note = f"measured at commit {pf.get('commit', '?')}"
+        except Exception:
+            pass
+    if floor_s is None and scale == 21:
+        floor_s = 0.048
+        floor_note = "round-4 hand measurement (commit 3584c14)"
     extra = {}
     if floor_s is not None:
         extra = {
             "roofline_floor_seconds": floor_s,
+            "roofline_floor_note": floor_note,
             "floor_fraction": round(floor_s / dt, 3),
         }
     print(

@@ -27,6 +27,7 @@ the stream.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -319,6 +320,27 @@ def _dist_build_common(base, spill_fn, num_vertices, pid, nproc, num_shards,
             deg += np.load(os.path.join(work, f"deg_{q}.npy"))
         if labels is None and with_degree_labels:
             labels = _degree_labels_from(deg)
+        elif labels is not None:
+            # Explicitly passed labels must be IDENTICAL on every process
+            # (each writes only its owned shards, so divergent label
+            # arrays would silently yield divergent shard dirs — advisor
+            # round-4 finding). Cross-check a content hash via the work
+            # dir before any shard is written.
+            h = hashlib.sha256(
+                np.ascontiguousarray(np.asarray(labels)).tobytes()
+            ).hexdigest()
+            with open(os.path.join(work, f"labels_hash_{pid}"), "w") as f:
+                f.write(h)
+            _file_barrier(markers, "LH", pid, nproc, timeout)
+            for q in range(nproc):
+                with open(os.path.join(work, f"labels_hash_{q}")) as f:
+                    other = f.read().strip()
+                if other != h:
+                    raise ValueError(
+                        f"labels mismatch: process {pid} hash {h[:12]} != "
+                        f"process {q} hash {other[:12]} — every process "
+                        "must pass an identical full-V labels array"
+                    )
         with LogStep(f"[p{pid}] owned-shard dedupe + CSR slices (pass B1)"):
             _dedupe_and_write(
                 base, spill_dir, num_shards, num_vertices, block, deg,
@@ -354,6 +376,7 @@ def _dist_build_common(base, spill_fn, num_vertices, pid, nproc, num_shards,
         raise
     except BaseException:
         _mark_failed(markers, "A", pid)
+        _mark_failed(markers, "LH", pid)
         _mark_failed(markers, "B1", pid)
         _mark_failed(markers, "B2", pid)
         _mark_failed(markers, "META", pid)

@@ -202,9 +202,14 @@ class ShardedLccEngine:
             o_r = rows_range // b
             ui = np.searchsorted(U, rows_range)
             rowmap[r, : len(rows_range)] = o_r * H + (ui - seg_start[o_r])
-        # at n=1 the request list is the identity (all rows): the
+        # at n=1 the request list is the identity (all rows) ONLY when
+        # the first edge's row is vertex 0 (rowstart[0] == 0): otherwise
+        # req_tv[0][0] = arange(rowstart[0], ...) is shifted and reading
+        # tv_loc[:szH] directly would deliver tv of the wrong vertices
+        # (silently wrong matches — advisor round-4 high finding). The
         # exchange (and its V-sized index gather) collapses to a pad
-        self._tv_identity = n == 1
+        # only in the true identity case.
+        self._tv_identity = n == 1 and int(rowstart[0]) == 0
 
         # --- rev-edge alive halo: per chunk, the alive flags of the
         # reverse edges of its slots (the cut edges) ------------------------

@@ -199,3 +199,45 @@ def test_sharded_init_host_reconstruction(ndev, tree_pattern):
     # multi-step and continuation calls must NOT claim reconstructable
     st2, _r, _d = eng.lcc_call(st, False, n_steps=2)
     assert not st2.recon_init
+
+
+@pytest.mark.parametrize("ndev", [1, 2])
+def test_isolated_lowest_vertex(ndev, tree_pattern):
+    """Vertex 0 with no edges (rowstart[0] != 0) must not break the n=1
+    row-tv identity fast path: the continuation superstep previously read
+    tv shifted by rowstart[0] and reported silently wrong matches
+    (advisor round-4 high finding)."""
+    parts = [
+        generate_edges(
+            RmatParams(seed=5489 + 3 * r, vertex_scale=13,
+                       edge_count=(16 << 13) // 4, scramble=False)
+        )
+        for r in range(4)
+    ]
+    src = np.concatenate([p[0] for p in parts]) + 1  # shift: vertex 0 isolated
+    dst = np.concatenate([p[1] for p in parts]) + 1
+    g = from_edges(src, dst, num_vertices=(1 << 13) + 1)
+    assert g.row_ptr[1] == 0  # vertex 0 genuinely edge-free
+    labels = degree_labels(g)
+    single = LccEngine(g, labels, tree_pattern)
+    sharded = ShardedLccEngine(g, labels, tree_pattern, num_devices=ndev)
+
+    st1, rows1, died1 = single.lcc_call(single.init_state(), True)
+    st2, rows2, died2 = sharded.lcc_call(sharded.init_state(), True)
+    assert [r[:3] for r in rows1] == [r[:3] for r in rows2]
+    assert died1 == died2
+    tv1 = np.asarray(st1.tv)
+    alive1 = np.asarray(st1.edge_alive)
+
+    # the bug was in the CONTINUATION superstep's row-tv path
+    st1b, rows1b, _ = single.lcc_call(st1, False)
+    st2b, rows2b, _ = sharded.lcc_call(
+        sharded.state_from_global(tv1, alive1, np.zeros(g.num_edges, bool)),
+        False,
+    )
+    assert [r[:3] for r in rows1b] == [r[:3] for r in rows2b]
+    tv2b, alive2b = sharded.state_to_global(st2b)
+    assert np.array_equal(np.asarray(st1b.tv), tv2b)
+    assert np.array_equal(np.asarray(st1b.edge_alive), alive2b)
+    # the active counts must be non-trivial for the test to mean anything
+    assert rows1b and rows1b[-1][1] > 0

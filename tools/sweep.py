@@ -50,6 +50,43 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# Pinned conformance anchors per (scale, corpus). Sources: the oracle-run
+# golden trees (examples/results_golden/golden_meta.json, tools/
+# make_golden.py) for s11/s13, and the chip-validated bench anchors
+# (bench.ANCHORS, CLAUDE.md) for s21. A sweep cell at a pinned key that
+# diverges fails LOUDLY — the first cell of a new run can no longer
+# self-seed a wrong fixpoint (round-4 verdict item 5). "traversed" is
+# pinned where known; it is mode-independent on these workloads (counting
+# and meta prune identically by construction, see _tree_edge_meta).
+PINNED_ANCHORS = {
+    # s11/s13 verified against the golden trees on the sweep's scrambled
+    # stream (active counts are isomorphism-invariant; traversed counts
+    # measured on the scrambled stream, round 5)
+    (11, "tree"): {
+        "active_vertices": 0, "active_edges": 0, "subgraphs": 0,
+        "traversed_edges": 25734,
+    },
+    (13, "tree"): {
+        "active_vertices": 12, "active_edges": 22, "subgraphs": 6,
+        "traversed_edges": 94524,
+    },
+    (13, "cycle"): {
+        "active_vertices": 254, "active_edges": 5500, "subgraphs": 109,
+        "traversed_edges": 1037191,
+    },
+    (17, "cycle"): {  # empty fixpoint (degree-label mix shifts with scale)
+        "active_vertices": 0, "active_edges": 0, "subgraphs": 0,
+        "traversed_edges": 282425,
+    },
+    (21, "tree"): {
+        "active_vertices": 147, "active_edges": 262, "subgraphs": 74,
+        "traversed_edges": 13207467,
+    },
+    # new (scale, corpus) keys: pin by running the oracle (or the already
+    # cross-validated bucketed engine) once and committing the counts here
+}
+
+
 def _commit():
     try:
         return subprocess.run(
@@ -74,13 +111,31 @@ def _tree_edge_meta(graph, pattern):
     return np.full(graph.num_edges, int(vals[0]), dtype=np.int64)
 
 
-def run_cell(scale, engine, mode, runs, mesh=None):
+def load_corpus(corpus):
+    from fuzzypatternmatching_tpu.pattern.builtin import load_tree_pattern
+    from fuzzypatternmatching_tpu.pattern.nonlocal_constraint import (
+        load_nonlocal_constraints,
+    )
+    from fuzzypatternmatching_tpu.pattern.pattern_graph import (
+        load_pattern_graph,
+    )
+
+    if corpus == "tree":
+        return load_tree_pattern(tempfile.mkdtemp())
+    if corpus == "cycle":
+        prefix = os.path.join(
+            REPO, "examples", "patterns_cycle", "0", "pattern"
+        )
+        return load_pattern_graph(prefix), load_nonlocal_constraints(prefix)
+    raise ValueError(f"unknown corpus {corpus!r}")
+
+
+def run_cell(scale, engine, mode, runs, corpus="tree", mesh=None):
     import bench  # noqa: E402  (repo-root module)
     from fuzzypatternmatching_tpu.engine.driver import MatchEngine
-    from fuzzypatternmatching_tpu.pattern.builtin import load_tree_pattern
 
     g, labels = bench.build_or_load_graph(scale)
-    pattern, constraints = load_tree_pattern(tempfile.mkdtemp())
+    pattern, constraints = load_corpus(corpus)
     kw = {}
     if engine == "sharded":
         from jax.sharding import Mesh
@@ -130,6 +185,8 @@ def main():
     ap.add_argument("--engines", default="bucketed,sharded")
     ap.add_argument("--modes", default="default,full_plane")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--corpora", default="tree",
+                    help="comma list: tree,cycle")
     ap.add_argument("--out", default=os.path.join(REPO, "SWEEP.json"))
     args = ap.parse_args()
 
@@ -142,40 +199,68 @@ def main():
     )
     commit = _commit()
 
-    anchors = {}
-    for cell in out["matrix"].values():
-        key = (cell["scale"], cell["mode"] in ("counting", "meta"))
-        anchors.setdefault(key, cell["active_vertices"])
+    # cross-cell fallback for (scale, corpus) keys without pinned
+    # constants: every cell of the same key must still agree with the
+    # first one ever recorded (stale SWEEP.json cells included)
+    seen = {}
+    for cname, cell in out["matrix"].items():
+        key = (cell["scale"], cell.get("corpus", "tree"))
+        if "active_vertices" in cell:
+            seen.setdefault(key, cell["active_vertices"])
 
-    for scale in [int(s) for s in args.scales.split(",")]:
-        for engine in args.engines.split(","):
-            for mode in args.modes.split(","):
-                name = f"s{scale}/{engine}/{mode}"
-                log(f"[{name}]")
-                try:
-                    cell = run_cell(scale, engine, mode, args.runs)
-                except Exception as e:  # keep sweeping, record the failure
-                    log(f"  FAILED: {type(e).__name__}: {e}")
-                    cell = {"error": f"{type(e).__name__}: {e}"}
-                if cell is None:
-                    continue
-                cell.update(
-                    scale=scale, engine=engine, mode=mode,
-                    measured_at=stamp, commit=commit,
-                )
-                if "active_vertices" in cell:
-                    key = (scale, mode in ("counting", "meta"))
-                    want = anchors.setdefault(key, cell["active_vertices"])
-                    if cell["active_vertices"] != want:
-                        raise AssertionError(
-                            f"{name}: anchor divergence — active="
-                            f"{cell['active_vertices']}, expected {want}"
+    for corpus in args.corpora.split(","):
+        for scale in [int(s) for s in args.scales.split(",")]:
+            for engine in args.engines.split(","):
+                for mode in args.modes.split(","):
+                    name = f"s{scale}/{engine}/{mode}"
+                    if corpus != "tree":
+                        name = f"s{scale}/{corpus}/{engine}/{mode}"
+                    log(f"[{name}]")
+                    try:
+                        cell = run_cell(
+                            scale, engine, mode, args.runs, corpus=corpus
                         )
-                out["matrix"][name] = cell
-                with open(args.out, "w") as f:
-                    json.dump(out, f, indent=1)
-                log(f"  -> {cell.get('seconds_best')}s "
-                    f"({cell.get('edges_per_sec', 0)} edges/s)")
+                    except Exception as e:  # keep sweeping, record failure
+                        log(f"  FAILED: {type(e).__name__}: {e}")
+                        cell = {"error": f"{type(e).__name__}: {e}"}
+                    if cell is None:
+                        continue
+                    cell.update(
+                        scale=scale, engine=engine, mode=mode, corpus=corpus,
+                        measured_at=stamp, commit=commit,
+                    )
+                    if "active_vertices" in cell:
+                        key = (scale, corpus)
+                        pinned = PINNED_ANCHORS.get(key)
+                        if pinned is not None:
+                            bad = {
+                                k: (cell[k], v)
+                                for k, v in pinned.items()
+                                if cell.get(k) != v
+                            }
+                            if bad:
+                                raise AssertionError(
+                                    f"{name}: PINNED anchor divergence "
+                                    f"(got, expected): {bad}"
+                                )
+                        else:
+                            log(f"  (no pinned anchors for {key}; "
+                                "cross-cell check only — pin after "
+                                "oracle validation)")
+                            want = seen.setdefault(
+                                key, cell["active_vertices"]
+                            )
+                            if cell["active_vertices"] != want:
+                                raise AssertionError(
+                                    f"{name}: anchor divergence — active="
+                                    f"{cell['active_vertices']}, "
+                                    f"expected {want}"
+                                )
+                    out["matrix"][name] = cell
+                    with open(args.out, "w") as f:
+                        json.dump(out, f, indent=1)
+                    log(f"  -> {cell.get('seconds_best')}s "
+                        f"({cell.get('edges_per_sec', 0)} edges/s)")
     print(json.dumps(out, indent=1))
 
 

@@ -35,6 +35,15 @@ def merge(directory: str) -> list[str]:
     for path in files:
         with open(path) as f:
             for i, line in enumerate(l for l in f if l.strip()):
+                if i >= len(totals):
+                    # the reference script silently assumes every rank file
+                    # has the first file's row count; report the mismatch
+                    # instead of crashing with IndexError
+                    raise SystemExit(
+                        f"{path}: row {i + 1} exceeds the {len(totals)} rows "
+                        f"of {files[0]} — per-rank files disagree on "
+                        "superstep count"
+                    )
                 totals[i] += int(line.strip().split(",")[-1])
     return [
         (p + "," if p else "") + str(t) for p, t in zip(prefixes, totals)
