@@ -59,6 +59,10 @@ class MatchEngine:
         self.constraints = constraints
         self.num_ranks = num_ranks
         self.source_batch = source_batch
+        # count of constraints that overflowed the device/mesh NLCC
+        # capacity cap and re-ran on the host (observability: the dryrun
+        # asserts 0 to prove the distributed path actually executed)
+        self.nlcc_fallbacks = 0
         # NLCC placement: "device" forces the jitted frontier programs
         # (engine/nlcc_device.py), "host" forces vectorized numpy, "auto"
         # keeps tiny frontiers on the host (one device program launch costs
@@ -379,6 +383,7 @@ class MatchEngine:
                 f"NLCC constraint [{pl}]: {exc}; falling back to the host "
                 "engine"
             )
+            self.nlcc_fallbacks += 1
             forwarded.keys = snapshot
             host_fn = run_tds if is_tds else run_nem
             hkw = {"forwarded": forwarded, "hopc": hopc,

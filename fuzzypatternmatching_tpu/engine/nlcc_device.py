@@ -60,8 +60,19 @@ class DeviceNlcc:
 
     # bound on capacity doublings (see ShardedNlcc.MAX_CAP_DOUBLINGS): each
     # (shape, capacity) pair is a fresh XLA program; past the cap the run
-    # raises FrontierOverflow and the driver falls back to the host engine
+    # raises FrontierOverflow and the driver falls back to the host engine.
+    # FPM_NLCC_MAX_DOUBLINGS overrides where compiles are cheap.
     MAX_CAP_DOUBLINGS = 3
+
+    @property
+    def max_cap_doublings(self) -> int:
+        import os
+
+        return int(
+            os.environ.get(
+                "FPM_NLCC_MAX_DOUBLINGS", str(self.MAX_CAP_DOUBLINGS)
+            )
+        )
 
     def __init__(self, num_vertices: int, num_ranks: int = 1):
         if num_vertices >= (1 << 31):
@@ -367,7 +378,7 @@ class DeviceNlcc:
                 out = prog(*args)
                 if not bool(out[-1]):
                     break
-                if doublings >= self.MAX_CAP_DOUBLINGS:
+                if doublings >= self.max_cap_doublings:
                     raise FrontierOverflow(
                         f"device nem frontier overflowed cap={cap} after "
                         f"{doublings} doublings"
@@ -443,7 +454,7 @@ class DeviceNlcc:
                 out = prog(*args)
                 if not bool(out[-1]):
                     break
-                if doublings >= self.MAX_CAP_DOUBLINGS:
+                if doublings >= self.max_cap_doublings:
                     raise FrontierOverflow(
                         f"device TDS frontier overflowed cap={cap} after "
                         f"{doublings} doublings"

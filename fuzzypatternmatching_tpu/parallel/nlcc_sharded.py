@@ -64,8 +64,20 @@ class ShardedNlcc:
     # bound on capacity doublings per batch: every (shape, capacity) pair is
     # a fresh XLA program (2-10 min through the compile relay); past the cap
     # the run raises FrontierOverflow and the driver falls back to the host
-    # engine with a clear log line instead of stalling for hours
+    # engine with a clear log line instead of stalling for hours.
+    # FPM_NLCC_MAX_DOUBLINGS raises the bound where compiles are cheap
+    # (CPU meshes, dryruns) so dense workloads stay on the mesh.
     MAX_CAP_DOUBLINGS = 3
+
+    @property
+    def max_cap_doublings(self) -> int:
+        import os
+
+        return int(
+            os.environ.get(
+                "FPM_NLCC_MAX_DOUBLINGS", str(self.MAX_CAP_DOUBLINGS)
+            )
+        )
 
     def __init__(self, num_vertices: int, mesh: Mesh, num_ranks: int = 1):
         if num_vertices >= (1 << 31):
@@ -569,7 +581,7 @@ class ShardedNlcc:
                     out = prog(*args)
                     if not bool(np.asarray(out[-1])):
                         break
-                    if doublings >= self.MAX_CAP_DOUBLINGS:
+                    if doublings >= self.max_cap_doublings:
                         raise FrontierOverflow(
                             f"mesh nem frontier overflowed cap={cap} after "
                             f"{doublings} doublings (sources "
@@ -664,7 +676,7 @@ class ShardedNlcc:
                     out = prog(*args)
                     if not bool(np.asarray(out[-1])):
                         break
-                    if doublings >= self.MAX_CAP_DOUBLINGS:
+                    if doublings >= self.max_cap_doublings:
                         raise FrontierOverflow(
                             f"mesh TDS frontier overflowed cap={cap} after "
                             f"{doublings} doublings (sources "

@@ -78,6 +78,16 @@ PINNED_ANCHORS = {
         "active_vertices": 0, "active_edges": 0, "subgraphs": 0,
         "traversed_edges": 282425,
     },
+    # s19/s21 cycle: measured round 5 with the oracle-contract-validated
+    # engine on CPU (2-iteration fixpoints); chip sweep cells must agree
+    (19, "cycle"): {
+        "active_vertices": 54, "active_edges": 122, "subgraphs": 18,
+        "traversed_edges": 4170009,
+    },
+    (21, "cycle"): {
+        "active_vertices": 169, "active_edges": 346, "subgraphs": 56,
+        "traversed_edges": 105906296,
+    },
     (21, "tree"): {
         "active_vertices": 147, "active_edges": 262, "subgraphs": 74,
         "traversed_edges": 13207467,
