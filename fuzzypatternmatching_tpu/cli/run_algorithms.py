@@ -37,6 +37,11 @@ def main(argv=None):
                     help="fuzzywalk: comma-separated history indices "
                          "(default 0,1,..,len-1 = all-distinct walk)")
     ap.add_argument("-o", "--output", default=None, help="write results here")
+    ap.add_argument("--sharded", action="store_true",
+                    help="run distributed over all visible devices "
+                         "(algorithms/frontier_sharded.py; the analog of "
+                         "the reference's all-rank MPI drivers)")
+    ap.add_argument("--num-devices", type=int, default=None)
     args = ap.parse_args(argv)
 
     from ..utils.jax_cache import enable_persistent_cache
@@ -45,30 +50,41 @@ def main(argv=None):
 
     g, stored_labels, edge_data = storage.load(args.input)
     print(f"opened graph: V={g.num_vertices} E={g.num_edges}")
+    if args.sharded:
+        from ..algorithms import frontier_sharded
+
+        algos = frontier_sharded
+        kw = {"num_devices": args.num_devices}
+        import jax
+
+        nd = args.num_devices or len(jax.devices())
+        print(f"sharded over {nd} devices")
+    else:
+        algos, kw = frontier, {}
     t0 = time.time()
     out = None
     if args.algo == "bfs":
-        level, parent = frontier.breadth_first_search(g, args.source)
+        level, parent = algos.breadth_first_search(g, args.source, **kw)
         reached = int(np.sum(level < 2**31 - 1))
         print(f"bfs from {args.source}: visited {reached} vertices, "
               f"max level {int(level[level < 2**31 - 1].max())}")
         out = np.stack([level, parent], axis=1)
     elif args.algo == "cc":
-        comp = frontier.connected_components(g)
+        comp = algos.connected_components(g, **kw)
         print(f"components: {len(np.unique(comp))}")
         out = comp
     elif args.algo == "pagerank":
-        pr = frontier.pagerank(g, args.damping, args.iterations)
+        pr = algos.pagerank(g, args.damping, args.iterations, **kw)
         top = np.argsort(pr)[-5:][::-1]
         print("top-5 pagerank:", [(int(v), float(pr[v])) for v in top])
         out = pr
     elif args.algo == "kcore":
-        alive = frontier.kth_core(g, args.k)
+        alive = algos.kth_core(g, args.k, **kw)
         print(f"{args.k}-core size: {int(alive.sum())}")
         out = alive
     elif args.algo == "sssp":
         w = edge_data.astype(np.float64) if edge_data is not None else np.ones(g.num_edges)
-        dist = frontier.sssp(g, args.source, w)
+        dist = algos.sssp(g, args.source, w, **kw)
         print(f"sssp from {args.source}: reached {int(np.isfinite(dist).sum())}")
         out = dist
     elif args.algo == "triangles":

@@ -89,6 +89,14 @@ class BucketedState:
     # ordered tv. live_packed is then in seg order too.
     tv_segs: tuple | None = None
     live_seg_order: bool = False
+    # recon-eligible init calls do NOT materialize the S-sized alive/flag
+    # arrays at all (alive/tp_flag are None): at the global init step the
+    # alive set is a pure function of (labels, graph, new tv), so the
+    # production path (host reconstruction + compact continuation) never
+    # consumes them — the ~22 ms write+concat is skipped
+    # (BENCH_INIT_DECOMPOSE.json no_alive_path) and a later full call
+    # rebuilds them on device via _ensure_alive (no host transfer)
+    alive_from_init: bool = False
 
 
 class BucketedLccEngine:
@@ -315,6 +323,7 @@ class BucketedLccEngine:
             self.required = None
             self._class_dev = None
         self._call_cache = {}
+        self._deferred_alive = None  # jit cache for _ensure_alive
         # bit-packed transfers: the flat alive array is ~S bytes as bool;
         # packing on device cuts the host<->device tunnel traffic 8x
         self._pack = jax.jit(lambda b: jnp.packbits(b))
@@ -675,10 +684,12 @@ class BucketedLccEngine:
         seg-ordered live bitmap + counters are prepared for download.
         Removes, vs the generic program (BENCH_INIT_DECOMPOSE.json): the
         V-sized entry gather (precomputed constants), the V-sized
-        inv_perm exit gather, and the S-bit packbits(alive) transfer
-        mirror (the host reconstruction never pulls it; a later explicit
-        request packs on demand via self._pack)."""
-        tv_parts, alive2, flag2, st = self._superstep(
+        inv_perm exit gather, the S-bit packbits(alive) transfer mirror,
+        AND (round 5) the S-sized alive/flag output arrays themselves —
+        the per-bucket alive planes still feed the ae counters, but their
+        concat + HBM materialization is dead code XLA eliminates; a later
+        full call rebuilds alive on device via _ensure_alive."""
+        tv_parts, _alive2, _flag2, st = self._superstep(
             tv, alive, flag, bucket_arrays, consts, init=True, seg_out=True
         )
         av, ae, msg, died = st
@@ -696,7 +707,7 @@ class BucketedLccEngine:
             else jnp.zeros(0, jnp.uint32)
         )
         combo = jnp.concatenate([stat_bytes, jnp.packbits(seg_all != 0)])
-        return tv_parts, alive2, flag2, combo
+        return tv_parts, combo
 
     def _call_impl(
         self, tv, alive, flag, bucket_arrays, consts, *, init: bool,
@@ -782,6 +793,8 @@ class BucketedLccEngine:
         )
 
     def state_to_global(self, state: BucketedState):
+        if state.alive is None and state.alive_from_init:
+            self._ensure_alive(state)
         if state.alive is None:
             edge_alive = np.zeros(self.graph.num_edges, dtype=bool)
             edge_alive[state.lazy_edge_ids] = True
@@ -809,7 +822,7 @@ class BucketedLccEngine:
         each row — typically a tiny fraction of E after the first call."""
         if state.pairs_cache is not None:
             return state.pairs_cache
-        if state.alive is None:
+        if state.alive is None and state.lazy_edge_ids is not None:
             # lazy state: edge ids ARE the pairs (ascending ids == CSR
             # row-major order) — zero device traffic
             eids = state.lazy_edge_ids
@@ -823,6 +836,7 @@ class BucketedLccEngine:
             if pairs is not None:
                 state.pairs_cache = pairs
                 return pairs
+        self._ensure_alive(state)
         packed = np.asarray(
             state.packed if state.packed is not None else self._pack(state.alive)
         )
@@ -876,8 +890,40 @@ class BucketedLccEngine:
             tv_np=tv32,
         )
 
+    def _deferred_alive_fn(self, tv_parts, bucket_arrays):
+        """Recompute the post-init alive flags ON DEVICE from the init
+        tv (seg parts): alive = init-accept & row-live, both pure
+        functions of (labels, graph, tv) at the global init step — the
+        same planes the init superstep computed but did not materialize
+        (see _call_init1_seg). No host transfer."""
+        parts = []
+        for bi, (rows, adj, rev, valid, seg_id, seg_rows, adj_code) in (
+            enumerate(bucket_arrays)
+        ):
+            p_bits = jnp.zeros(adj.shape, dtype=jnp.uint32)
+            for cidx, bits in self._init_pairs:
+                p_bits = p_bits | jnp.where(
+                    adj_code == cidx, bits, jnp.uint32(0)
+                )
+            adj_mask_seg = self._init_adjmask_seg[bi]
+            accept = (p_bits & adj_mask_seg[seg_id][:, None]) != 0
+            row_live = (tv_parts[bi] != 0)[seg_id]
+            parts.append((accept & row_live[:, None]).reshape(-1))
+        return jnp.concatenate(parts + [jnp.zeros(1, bool)])
+
+    def _ensure_alive(self, state: BucketedState) -> None:
+        """Materialize the alive/flag arrays a recon-init call skipped."""
+        if state.alive is not None or not state.alive_from_init:
+            return
+        if self._deferred_alive is None:
+            self._deferred_alive = jax.jit(self._deferred_alive_fn)
+        state.alive = self._deferred_alive(state.tv_segs, self._dev)
+        state.tp_flag = jnp.zeros(self.num_slots + 1, dtype=bool)
+
     def _materialize(self, state: BucketedState) -> BucketedState:
         """Device arrays for a lazy state (no-op otherwise)."""
+        if state.alive_from_init and state.alive is None:
+            self._ensure_alive(state)
         if state.alive is not None:
             return state
         s = self.state_from_edge_ids(
@@ -889,6 +935,8 @@ class BucketedLccEngine:
     def with_updates(self, state: BucketedState, tv: np.ndarray, tp_marks):
         """Replace tv and set token-passing success marks (slot flags)."""
         tv32 = tv.astype(np.uint32)
+        if state.alive is None and state.alive_from_init:
+            self._ensure_alive(state)
         if state.alive is None:
             from .lazy_state import merged_flag_ids
 
@@ -941,11 +989,11 @@ class BucketedLccEngine:
         if self._class_dev is not None:
             consts["cls"] = self._class_dev
         if recon_ok:
-            tv_segs, alive, flag, combo = call(
+            tv_segs, combo = call(
                 state.tv if state.tv is not None else self.label_tv,
                 state.alive, state.tp_flag, self._dev, consts,
             )
-            tv, packed = None, None
+            tv, alive, flag, packed = None, None, None, None
         else:
             tv, alive, flag, packed, combo = call(
                 self._tv_device(state), state.alive, state.tp_flag,
@@ -979,6 +1027,7 @@ class BucketedLccEngine:
         any_died = bool((st[:, -1] != 0).any())
         out = BucketedState(tv, alive, flag, packed=packed,
                             live_packed=live_packed,
-                            tv_segs=tv_segs, live_seg_order=recon_ok)
+                            tv_segs=tv_segs, live_seg_order=recon_ok,
+                            alive_from_init=recon_ok)
         out.recon_init = recon_ok
         return out, rows, any_died

@@ -26,6 +26,13 @@ partition + delegate replication for hubs, delegate_partitioned_graph.ipp:
   flags would be. At n=1 the identity-permutation exchanges collapse to
   pads, leaving ONE E-sized gather per superstep (payload[rev]) — the
   measured issue-rate floor of this stack (docs/ROOFLINE.md).
+* **ELL-bucketed slot space (round 5).** Each chunk's row fragments are
+  grouped into power-of-two width buckets (the bucketed plane's layout,
+  engine/lcc_bucketed.py, applied per shard): every segment OR/sum/
+  broadcast is a dense per-bucket reduction the VPU vectorizes, replacing
+  the round-4 cummax-scan formulation whose ~8-22 log-depth passes per
+  superstep were the mesh plane's measured n=1 tax
+  (BENCH_SHARDED_CHIP.json round 4: init 390 ms vs bucketed 48 ms).
 * convergence counters are ``psum``s (replacing the MPI tree termination
   detection, termination_detection.hpp:96-233).
 
@@ -136,39 +143,136 @@ class ShardedLccEngine:
         self.rmax = rmax = int(max(rowend - rowstart + 1))
         self._rowstart = rowstart
 
-        lrow_s = np.zeros((n, ec), dtype=np.int32)
-        evalid_s = np.zeros((n, ec), dtype=bool)
+        # --- ELL slot layout per chunk (round 5) --------------------------
+        # The round-4 plane kept each chunk's slots in CSR order and did
+        # its segment OR/sum/broadcast with lax.cummax scans over the full
+        # slot space (~8 passes at init, ~22 per continuation superstep) —
+        # measured as the mesh plane's n=1 tax (390 ms init vs the
+        # bucketed plane's 48 ms, BENCH_SHARDED_CHIP.json): a TPU scan is
+        # a log-depth multi-pass over HBM. This rebuild adopts the
+        # bucketed plane's answer (engine/lcc_bucketed.py): group each
+        # chunk's row FRAGMENTS (a hub row spanning chunks contributes one
+        # fragment per chunk — the delegate-splitting analog) into
+        # power-of-two width buckets; every segment op then becomes a
+        # dense per-bucket reduction/broadcast the VPU vectorizes.
+        # Bucket shapes are unified across chunks (shard_map runs ONE
+        # program on every shard): nb[width] = max over chunks, padded
+        # rows inert (evalid False, code 0, row sentinel rmax).
+        MIN_WE, MAX_WE = 3, 13  # widths 8 .. 8192 (same caps as bucketed)
+        frag_rows, frag_offs, frag_lens, frag_wes = [], [], [], []
         col_chunks = []
-        # segmented-scan structure of each chunk (slots are CSR-ordered, so
-        # local row ids are nondecreasing): per-slot segment-start flags +
-        # per-local-row first/last slot positions (ec = "no slots" pad).
-        # These let the superstep express segment-OR/-sum/-broadcast as ONE
-        # vectorized associative scan + an rmax-sized static-index gather/
-        # scatter instead of E-sized segment_max scatters and table[lrow]
-        # gathers — XLA lowers those one element at a time on TPU
-        # (docs/ROOFLINE.md "gather wall"), and they dominated the mesh
-        # superstep's measured cost.
-        segstart_s = np.zeros((n, ec), dtype=bool)
-        first_s = np.full((n, rmax), ec, dtype=np.int32)
-        last_s = np.full((n, rmax), ec, dtype=np.int32)
         for r in range(n):
             lo, hi = r * ec, min((r + 1) * ec, e)
             cnt = max(hi - lo, 0)  # trailing chunks may be empty
             hi = max(hi, lo)
-            lrow_s[r, :cnt] = graph.edge_row_range(lo, hi) - rowstart[r]
-            evalid_s[r, :cnt] = True
             col_chunks.append(graph.cols_range(lo, hi))
-            if cnt > 0:
-                lr = lrow_s[r, :cnt].astype(np.int64)
-                heads = np.concatenate(([True], lr[1:] != lr[:-1]))
-                segstart_s[r, :cnt] = heads
-                hpos = np.nonzero(heads)[0]
-                first_s[r, lr[hpos]] = hpos
-                tails = np.concatenate((heads[1:], [True]))
-                tpos = np.nonzero(tails)[0]
-                last_s[r, lr[tpos]] = tpos
-            if cnt < ec:
-                segstart_s[r, cnt] = True  # isolate the pad tail
+            if cnt == 0:
+                for acc in (frag_rows, frag_offs, frag_lens, frag_wes):
+                    acc.append(np.empty(0, dtype=np.int64))
+                continue
+            lr = (graph.edge_row_range(lo, hi) - rowstart[r]).astype(np.int64)
+            heads = np.concatenate(([True], lr[1:] != lr[:-1]))
+            hpos = np.nonzero(heads)[0]
+            flen = np.diff(np.concatenate((hpos, [cnt])))
+            frow, foff = lr[hpos], hpos
+            # split fragments wider than the cap into MAX_W-wide pieces
+            npieces = -(-flen // (1 << MAX_WE))
+            prow = np.repeat(frow, npieces)
+            pidx = np.arange(len(prow)) - np.repeat(
+                np.cumsum(npieces) - npieces, npieces
+            )
+            poff = np.repeat(foff, npieces) + pidx * (1 << MAX_WE)
+            plen = np.minimum(
+                np.repeat(foff + flen, npieces) - poff, 1 << MAX_WE
+            )
+            pwe = np.clip(
+                np.ceil(np.log2(np.maximum(plen, 1))).astype(np.int64),
+                MIN_WE, MAX_WE,
+            )
+            # ALL pieces of a split fragment stay in the widest bucket
+            # (a short tail piece in a narrower bucket would scatter one
+            # row across two buckets and lose a partial in the combine)
+            pwe = np.where(np.repeat(npieces > 1, npieces), MAX_WE, pwe)
+            frag_rows.append(prow)
+            frag_offs.append(poff)
+            frag_lens.append(plen)
+            frag_wes.append(pwe)
+        wes_present = sorted(
+            set(int(w) for ws in frag_wes for w in np.unique(ws))
+        ) or [MIN_WE]
+        # unified bucket table: per width, rows = max pieces over chunks
+        nb_by_we = {
+            we: max(
+                (int(np.sum(frag_wes[r] == we)) for r in range(n)), default=0
+            )
+            for we in wes_present
+        }
+        nb_by_we = {we: max(nb, 1) for we, nb in nb_by_we.items()}
+        self.ell_buckets = []  # (we, width, slot_off, nb, row_off)
+        off = row_off = 0
+        for we in wes_present:
+            nb = nb_by_we[we]
+            self.ell_buckets.append((we, 1 << we, off, nb, row_off))
+            off += nb << we
+            row_off += nb
+        self.S = S = off
+        self.n_ellrows = row_off
+
+        # per-chunk static tables in ELL order
+        slot_to_edge = np.full((n, S), -1, dtype=np.int64)
+        evalid_s = np.zeros((n, S), dtype=bool)
+        row_of_slot = np.full((n, S), rmax, dtype=np.int32)
+        ellrow_row = np.full((n, self.n_ellrows), rmax, dtype=np.int32)
+        # split-fragment combine (widest bucket only): per ELL row its
+        # position in the chunk's per-bucket DISTINCT-row list
+        seg_id_wide = np.zeros((n, nb_by_we[wes_present[-1]]), dtype=np.int32)
+        nseg_wide = 1
+        for r in range(n):
+            lo = r * ec
+            order = np.argsort(frag_wes[r], kind="stable")
+            for we, w, boff, nb, broff in self.ell_buckets:
+                sel = order[frag_wes[r][order] == we]
+                for j, f in enumerate(sel):
+                    frow = int(frag_rows[r][f])
+                    fo, fl = int(frag_offs[r][f]), int(frag_lens[r][f])
+                    s0 = boff + j * w
+                    slot_to_edge[r, s0 : s0 + fl] = lo + fo + np.arange(fl)
+                    evalid_s[r, s0 : s0 + fl] = True
+                    row_of_slot[r, s0 : s0 + fl] = frow
+                    ellrow_row[r, broff + j] = frow
+        # distinct-row (seg) spaces per bucket; only the widest bucket can
+        # hold several pieces of one row (pieces are consecutive there)
+        we_wide = wes_present[-1]
+        _, _, _, nb_wide, roff_wide = self.ell_buckets[-1]
+        nseg_wide = 1
+        for r in range(n):
+            rows_w = ellrow_row[r, roff_wide : roff_wide + nb_wide]
+            heads = np.concatenate(
+                ([True], rows_w[1:] != rows_w[:-1])
+            ) & (rows_w != rmax)
+            sid = np.cumsum(heads) - 1
+            sid[rows_w == rmax] = 0
+            seg_id_wide[r] = np.maximum(sid, 0)
+            nseg_wide = max(nseg_wide, int(heads.sum()))
+        self.nseg_wide = nseg_wide
+        # per-chunk map: local row -> flat position in the concatenated
+        # per-bucket DISTINCT-row output (narrow buckets emit one value
+        # per ELL row; the widest emits nseg_wide combined values)
+        self.n_segout = (self.n_ellrows - nb_wide) + nseg_wide
+        row_to_segpos = np.full((n, rmax), self.n_segout, dtype=np.int32)
+        seg_row_wide = np.full((n, nseg_wide), rmax, dtype=np.int32)
+        for r in range(n):
+            for we, w, boff, nb, broff in self.ell_buckets[:-1]:
+                rows_b = ellrow_row[r, broff : broff + nb]
+                ok = rows_b != rmax
+                row_to_segpos[r, rows_b[ok]] = broff + np.nonzero(ok)[0]
+            rows_w = ellrow_row[r, roff_wide : roff_wide + nb_wide]
+            ok = rows_w != rmax
+            if ok.any():
+                sid = seg_id_wide[r][ok]
+                row_to_segpos[r, rows_w[ok]] = roff_wide + sid
+                seg_row_wide[r, sid] = rows_w[ok]
+        self._seg_row_wide = seg_row_wide
 
         # --- row-tv halo: per chunk, ONLY its own (contiguous) row range.
         # Column tv is NOT exchanged: the payload halo below delivers
@@ -211,44 +315,75 @@ class ShardedLccEngine:
         # only in the true identity case.
         self._tv_identity = n == 1 and int(rowstart[0]) == 0
 
-        # --- rev-edge alive halo: per chunk, the alive flags of the
-        # reverse edges of its slots (the cut edges) ------------------------
+        # --- rev-edge payload halo in ELL coordinates: per chunk, the
+        # payload words (alive | row tv) of the reverse edges of its
+        # slots (the cut edges) -------------------------------------------
+        # global edge id -> (owner chunk, ELL position)
+        e2chunk = np.full(e, -1, dtype=np.int32)
+        e2pos = np.full(e, -1, dtype=np.int64)
+        for r in range(n):
+            ok = slot_to_edge[r] >= 0
+            e2chunk[slot_to_edge[r][ok]] = r
+            e2pos[slot_to_edge[r][ok]] = np.nonzero(ok)[0]
+        self._edge_to_ellslot = e2chunk.astype(np.int64) * S + e2pos
         Hrev = 1
         req_al = []
         rv_meta = []
         for r in range(n):
             lo, hi = r * ec, min((r + 1) * ec, e)
-            rv = graph.rev_range(lo, hi)
-            rv_ok = rv >= 0
-            RU = np.unique(rv[rv_ok])
-            owners = RU // ec
-            seg_start = np.searchsorted(owners, np.arange(n + 1))
-            req = [RU[seg_start[o] : seg_start[o + 1]] for o in range(n)]
+            rv_chunkarr = graph.rev_range(lo, max(hi, lo))
+            eids = slot_to_edge[r]
+            ok = eids >= 0
+            rv_eid = np.full(S, -1, dtype=np.int64)
+            rv_eid[ok] = rv_chunkarr[eids[ok] - lo]
+            rv_ok = rv_eid >= 0
+            rv_chunk = np.where(rv_ok, e2chunk[np.maximum(rv_eid, 0)], -1)
+            rv_pos = np.where(rv_ok, e2pos[np.maximum(rv_eid, 0)], -1)
+            if n == 1:
+                # identity request (conceptually arange(S), never
+                # materialized): the send buffer IS the payload array —
+                # the sender-side payload_pad[sendidx] gather (an E-sized
+                # serialized gather on TPU) is skipped entirely
+                req = [np.empty(0, dtype=np.int64)]
+                Hrev = max(Hrev, S)
+            else:
+                RU_key = np.unique(
+                    rv_chunk[rv_ok].astype(np.int64) * S + rv_pos[rv_ok]
+                )
+                owners = RU_key // S
+                seg_start = np.searchsorted(owners, np.arange(n + 1))
+                req = [
+                    (RU_key % S)[seg_start[o] : seg_start[o + 1]]
+                    for o in range(n)
+                ]
             Hrev = max(Hrev, max((len(x) for x in req), default=1))
             req_al.append(req)
-            rv_meta.append((RU, seg_start, rv, rv_ok))
-        self.halo_hrev = Hrev = _pow2(Hrev)
-        sendidx_al = np.full((n, n, Hrev), ec, dtype=np.int32)
+            rv_meta.append((rv_chunk, rv_pos, rv_ok))
+        # n=1: the identity request is exactly the S slots — no pow2
+        # rounding (it would pad the per-superstep plH copy ~2x for
+        # nothing), and the send index table itself is never read
+        # (identity fast path) so only a dummy is kept
+        self.halo_hrev = Hrev = S if n == 1 else _pow2(Hrev)
+        if n == 1:
+            sendidx_al = np.zeros((1, 1, 1), dtype=np.int32)
+        else:
+            sendidx_al = np.full((n, n, Hrev), S, dtype=np.int32)
+            for r in range(n):
+                for o in range(n):
+                    q = req_al[r][o]
+                    sendidx_al[o, r, : len(q)] = q
+        revmap = np.full((n, S), n * Hrev, dtype=np.int32)
         for r in range(n):
-            for o in range(n):
-                q = req_al[r][o]
-                sendidx_al[o, r, : len(q)] = q - o * ec
-        revmap = np.full((n, ec), n * Hrev, dtype=np.int32)
-        for r in range(n):
-            RU, seg_start, rv, rv_ok = rv_meta[r]
-            if len(RU):
-                o = rv[rv_ok] // ec
-                ui = np.searchsorted(RU, rv[rv_ok])
-                revmap[r, : len(rv)][rv_ok] = o * Hrev + (ui - seg_start[o])
-        # at n=1 with a fully-symmetrized graph the request list is the
-        # identity permutation of the slot space: the sender-side
-        # payload_pad[sendidx] gather (an E-sized serialized gather on
-        # TPU) can be skipped — the send buffer IS the payload array
-        RU0 = rv_meta[0][0]
-        self._al_identity = n == 1 and (
-            len(RU0) == 0
-            or bool(np.array_equal(RU0, np.arange(len(RU0), dtype=RU0.dtype)))
-        )
+            rv_chunk, rv_pos, rv_ok = rv_meta[r]
+            if n == 1:
+                revmap[r][rv_ok] = rv_pos[rv_ok]
+            else:
+                for o in range(n):
+                    q = req_al[r][o]
+                    sel = rv_ok & (rv_chunk == o)
+                    ui = np.searchsorted(q, rv_pos[sel])
+                    revmap[r][sel] = o * Hrev + ui
+        self._al_identity = n == 1
 
         # --- partial-OR exchange: chunk r's rows grouped by tv owner
         # (contiguous ranges; sendrows gathers partials, ridx places them
@@ -284,10 +419,12 @@ class ShardedLccEngine:
         code_dtype = np.uint8 if len(uniq_labels) <= 255 else np.uint16
         code_vert = np.zeros(v + 1, dtype=code_dtype)
         code_vert[:v] = (inv_lab + 1).astype(code_dtype)
-        code_s = np.zeros((n, ec), dtype=code_dtype)
+        code_s = np.zeros((n, S), dtype=code_dtype)
         for r in range(n):
-            cc = col_chunks[r]
-            code_s[r, : len(cc)] = code_vert[cc]
+            ok = slot_to_edge[r] >= 0
+            code_s[r][ok] = code_vert[
+                col_chunks[r][slot_to_edge[r][ok] - r * ec]
+            ]
         lab_tv_uniq = pattern.label_match_bitset(uniq_labels)
         self._init_pairs = [
             (code_dtype(j + 1), np.uint32(bits))
@@ -316,10 +453,10 @@ class ShardedLccEngine:
         # itself stays host-only (the continuation superstep derives its
         # mask from the live rowtv via seg_bcast, so the device never
         # consumes the row-shaped init mask).
-        init_slotmask = np.zeros((n, ec), dtype=np.uint32)
+        init_slotmask = np.zeros((n, S), dtype=np.uint32)
         for r in range(n):
-            cnt = max(min((r + 1) * ec, e) - r * ec, 0)
-            init_slotmask[r, :cnt] = init_adjmask[r, lrow_s[r, :cnt]]
+            ok = slot_to_edge[r] >= 0
+            init_slotmask[r][ok] = init_adjmask[r, row_of_slot[r][ok]]
 
         # edge-metadata-constrained matching on the mesh (see LccEngine /
         # BucketedLccEngine; edge_data_db.hpp analog): per-chunk slot
@@ -332,10 +469,10 @@ class ShardedLccEngine:
             ecode = np.asarray(ecode, dtype=np.int64)
             mzero = allow.shape[0] - 1  # the all-zero allow row
             self.meta_allow = jnp.asarray(allow, dtype=jnp.uint32)
-            mc_s = np.full((n, ec), mzero, dtype=np.int32)
+            mc_s = np.full((n, S), mzero, dtype=np.int32)
             for r in range(n):
-                lo, hi = r * ec, min((r + 1) * ec, e)
-                mc_s[r, : hi - lo] = ecode[lo:hi]
+                ok = slot_to_edge[r] >= 0
+                mc_s[r][ok] = ecode[slot_to_edge[r][ok]]
         else:
             self.meta_allow = None
             mc_s = None
@@ -351,10 +488,12 @@ class ShardedLccEngine:
             class_vert = np.zeros(v + 1, dtype=np.uint8)
             for j, cl in enumerate(class_labels):
                 class_vert[:v][lab == cl] = j + 1
-            cls_s = np.zeros((n, ec), dtype=np.uint8)
+            cls_s = np.zeros((n, S), dtype=np.uint8)
             for r in range(n):
-                cc = col_chunks[r]
-                cls_s[r, : len(cc)] = class_vert[cc]
+                ok = slot_to_edge[r] >= 0
+                cls_s[r][ok] = class_vert[
+                    col_chunks[r][slot_to_edge[r][ok] - r * ec]
+                ]
         else:
             self.required = None
             cls_s = None
@@ -382,12 +521,14 @@ class ShardedLccEngine:
         cut_edges = np.zeros(n, dtype=np.int64)
         local_rev = np.zeros(n, dtype=np.int64)
         for r in range(n):
-            RU, seg_start, rv, rv_ok = rv_meta[r]
-            owners = rv[rv_ok] // ec
+            rv_chunk, rv_pos, rv_ok = rv_meta[r]
+            owners = rv_chunk[rv_ok]
             cut_edges[r] = int(np.sum(owners != r))
             local_rev[r] = int(np.sum(owners == r))
             for o in range(n):
-                cnt = seg_start[o + 1] - seg_start[o]
+                cnt = (
+                    len(req_al[r][o]) if n > 1 else int(np.sum(owners == o))
+                )
                 if o == r:
                     al_use_intra[r] += cnt
                 else:
@@ -419,15 +560,27 @@ class ShardedLccEngine:
             "local_rev_edges": local_rev,
         }
 
+        # host maps for the state-layout conversions (ELL <-> edge ids)
+        self._slot_to_edge = slot_to_edge
         shard2 = NamedSharding(mesh, P("x", None))
         shard3 = NamedSharding(mesh, P("x", None, None))
         ops = [
-            jax.device_put(lrow_s, shard2),
+            jax.device_put(row_of_slot, shard2),
             jax.device_put(evalid_s, shard2),
             jax.device_put(rowmap, shard2),
             jax.device_put(revmap, shard2),
-            jax.device_put(sendidx_tv, shard3),
-            jax.device_put(sendidx_al, shard3),
+            # identity fast paths never read the send index lists — don't
+            # hold the (pow2(S)-sized at n=1) tables in HBM then
+            jax.device_put(
+                sendidx_tv if not self._tv_identity
+                else np.zeros((n, n, 1), np.int32),
+                shard3,
+            ),
+            jax.device_put(
+                sendidx_al if not self._al_identity
+                else np.zeros((n, n, 1), np.int32),
+                shard3,
+            ),
             jax.device_put(sendrows, shard3),
             jax.device_put(ridx, shard3),
             jax.device_put(code_s, shard2),
@@ -440,10 +593,10 @@ class ShardedLccEngine:
             ops.append(jax.device_put(init_rowtv, shard2))
         if cls_s is not None:
             ops.append(jax.device_put(cls_s, shard2))
-        # segmented-scan structure + per-slot init mask (always last four)
-        ops.append(jax.device_put(segstart_s, shard2))
-        ops.append(jax.device_put(first_s, shard2))
-        ops.append(jax.device_put(last_s, shard2))
+        # ELL segment structure + per-slot init mask (always last four)
+        ops.append(jax.device_put(ellrow_row, shard2))
+        ops.append(jax.device_put(seg_id_wide, shard2))
+        ops.append(jax.device_put(row_to_segpos, shard2))
         ops.append(jax.device_put(init_slotmask, shard2))
         self._ops = tuple(ops)
 
@@ -565,8 +718,22 @@ class ShardedLccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
+    @staticmethod
+    def _segment_or(values, seg_id, n_seg):
+        """OR-combine uint32 values per segment (tiny: split-hub
+        partials in the widest ELL bucket — same helper as the bucketed
+        plane, lcc_bucketed.py)."""
+        planes = (
+            (values[:, None] >> jnp.arange(16, dtype=jnp.uint32)[None, :]) & 1
+        ).astype(jnp.uint8)
+        seg = jax.ops.segment_max(planes, seg_id, num_segments=n_seg) > 0
+        weights = (1 << jnp.arange(16, dtype=jnp.uint32))[None, :]
+        return jnp.sum(
+            seg.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32
+        )
+
     def _superstep_spmd(self, tv, edge_alive, tp_flag, ops, init: bool):
-        n, b, ec, rmax = self.n, self.block, self.ec, self.rmax
+        n, b, S, rmax = self.n, self.block, self.S, self.rmax
         R = self.num_ranks
         meta = self.meta_allow is not None
         tv_loc = tv[0]
@@ -584,69 +751,72 @@ class ShardedLccEngine:
         if self.counting:
             cls = ops_loc[pos]
             pos += 1
-        seg_start, first_slot, last_slot, init_slotmask = ops_loc[
-            pos : pos + 4
-        ]
+        (
+            ellrow_row, seg_id_wide, row_to_segpos, init_slotmask,
+        ) = ops_loc[pos : pos + 4]
 
-        # --- segmented primitives over the chunk's CSR-sorted slots -------
-        # Formulated as cumsum/cummax primitives (one vectorized pass
-        # each) instead of E-sized segment_max/segment_sum scatters and
-        # table[lrow] gathers, which XLA serializes per element on this
-        # target (docs/ROOFLINE.md "gather wall") — and instead of a
-        # tuple-carrier ``associative_scan``, whose unrolled lowering
-        # exhausts the TPU compiler at s21 (the remote compile helper
-        # SIGKILLs even the 1-superstep program). Trick: with C = the
-        # 1-based segment ordinal per slot (a cumsum of the head flags),
-        # ``cummax((C << 1) | bit)`` computes a per-segment RUNNING OR of
-        # a bit plane — an earlier segment's packed value is always
-        # smaller, so each segment restarts its own maximum. ≤16-bit
-        # bitsets need ≤16 such passes. first/last_slot are rmax-sized
-        # static-index ops.
-
-        seg_ord = jnp.cumsum(seg_start.astype(jnp.int32))
-
-        def _run_or_bits(vals, nbits):
-            """Per-slot running OR (within segment) of a uint32 bitset."""
-            out = jnp.zeros(ec, dtype=jnp.uint32)
-            base = seg_ord << 1
-            for i in range(nbits):
-                plane = ((vals >> i) & 1).astype(jnp.int32)
-                m = jax.lax.cummax(base | plane)
-                out = out | ((m & 1).astype(jnp.uint32) << i)
-            return out
-
-        def _tail(acc):
-            return jnp.concatenate([acc, jnp.zeros(1, acc.dtype)])[last_slot]
+        # --- segmented primitives over the chunk's ELL buckets ------------
+        # Every segment OR/sum/broadcast is a dense per-bucket reduction
+        # or broadcast (VPU-vectorized) plus one small static gather —
+        # the bucketed plane's formulation (lcc_bucketed.py) applied per
+        # shard. This replaced the round-4 cummax-scan formulation whose
+        # ~8-22 log-depth passes per superstep were the measured mesh
+        # n=1 tax (BENCH_SHARDED_CHIP.json, docs/ROOFLINE.md).
+        buckets = self.ell_buckets  # (we, w, off, nb, row_off)
 
         def seg_or(bits, nbits=None):
-            """Per-local-row OR of uint32 bitsets ([ec] -> [rmax])."""
-            return _tail(_run_or_bits(bits, nbits or self.k))
+            """Per-local-row OR of uint32 bitsets ([S] -> [rmax])."""
+            parts = []
+            for bi, (we, w, off, nb, roff) in enumerate(buckets):
+                rowvals = jax.lax.reduce(
+                    bits[off : off + nb * w].reshape(nb, w),
+                    np.uint32(0), jax.lax.bitwise_or, dimensions=[1],
+                )
+                if bi == len(buckets) - 1:
+                    rowvals = self._segment_or(
+                        rowvals, seg_id_wide, self.nseg_wide
+                    )
+                parts.append(rowvals)
+            segall = jnp.concatenate(parts + [jnp.zeros(1, jnp.uint32)])
+            return segall[row_to_segpos]
 
         def seg_sum(vals):
-            """Per-local-row sum ([ec] -> [rmax]) via prefix-sum
-            differences at the static first/last positions."""
-            s_inc = jnp.cumsum(vals.astype(jnp.int32))
-            s_exc = s_inc - vals.astype(jnp.int32)
-            s_inc_p = jnp.concatenate([s_inc, jnp.zeros(1, jnp.int32)])
-            s_exc_p = jnp.concatenate([s_exc, jnp.zeros(1, jnp.int32)])
-            return s_inc_p[last_slot] - s_exc_p[first_slot]
+            """Per-local-row sum ([S] -> [rmax])."""
+            parts = []
+            for bi, (we, w, off, nb, roff) in enumerate(buckets):
+                rowvals = jnp.sum(
+                    vals[off : off + nb * w].reshape(nb, w).astype(jnp.int32),
+                    axis=1,
+                )
+                if bi == len(buckets) - 1:
+                    rowvals = jax.ops.segment_sum(
+                        rowvals, seg_id_wide, num_segments=self.nseg_wide
+                    )
+                parts.append(rowvals)
+            segall = jnp.concatenate(parts + [jnp.zeros(1, jnp.int32)])
+            return segall[row_to_segpos]
 
         def seg_bcast(row_vals, nbits=None):
             """Per-row values spread along each row's slots
-            ([rmax] -> [ec]): set at segment heads, fill forward with the
-            running OR (only the head carries bits in each segment)."""
-            heads = (
-                jnp.zeros(ec, dtype=jnp.uint32)
-                .at[first_slot]
-                .set(row_vals.astype(jnp.uint32), mode="drop")
+            ([rmax] -> [S]): one small gather to ELL rows, then dense
+            per-bucket broadcasts."""
+            rv_pad = jnp.concatenate(
+                [row_vals.astype(jnp.uint32), jnp.zeros(1, jnp.uint32)]
             )
-            return _run_or_bits(heads, nbits or self.k)
+            per_ell = rv_pad[ellrow_row]  # [n_ellrows]
+            parts = [
+                jnp.broadcast_to(
+                    per_ell[roff : roff + nb, None], (nb, w)
+                ).reshape(-1)
+                for (we, w, off, nb, roff) in buckets
+            ]
+            return jnp.concatenate(parts)
 
         if init:
             tv_loc = label_tv_own
             # tv == label_tv at init: rebuild neighbor bitsets from the
             # precomputed per-slot label codes — no exchange needed
-            p_bits = jnp.zeros((ec,), dtype=jnp.uint32)
+            p_bits = jnp.zeros((S,), dtype=jnp.uint32)
             for cidx, bits in self._init_pairs:
                 p_bits = p_bits | jnp.where(
                     adj_code == cidx, bits, jnp.uint32(0)
@@ -874,22 +1044,24 @@ class ShardedLccEngine:
         """Static per-device working-set size in array elements — the
         O((V+E)/n + cut) bound the halo layout guarantees (vs O(V+E) for a
         full-all_gather data plane). Counts every device-resident operand:
-        state (tv[b], alive[ec], flag[ec]), slot-shaped tables (lrow,
-        evalid, colmap, revmap, code, segstart, init_slotmask), row-shaped
-        tables (rowmap, first_slot, last_slot), the label-tv block, and
-        the halo exchange index lists."""
-        n, b, ec, rmax = self.n, self.block, self.ec, self.rmax
+        state (tv[b], alive[S], flag[S]), ELL slot-shaped tables (row_of_
+        slot, evalid, revmap, code, init_slotmask), row-shaped tables
+        (rowmap, row_to_segpos, ellrow_row), the label-tv block, and the
+        halo exchange index lists. S is the chunk's ELL slot count
+        (E/n padded to power-of-two fragment widths, <= ~2.2 E/n)."""
+        n, b, rmax = self.n, self.block, self.rmax
+        S = self.S
         elems = (
             2 * b  # tv block + label-tv block
-            + 8 * ec  # alive/flag/lrow/evalid/revmap/code/segstart
-            #           /init_slotmask
-            + 3 * rmax  # rowmap + first_slot + last_slot
+            + 7 * S  # alive/flag/row_of_slot/evalid/revmap/code/init_slotmask
+            + 2 * rmax  # rowmap + row_to_segpos
+            + self.n_ellrows  # ellrow_row
             + n * (self.halo_h + self.halo_hrev + 2 * self.halo_k)
         )
         if self.meta_allow is not None:
-            elems += ec + rmax  # slot metadata codes + init_rowtv
+            elems += S + rmax  # slot metadata codes + init_rowtv
         if self.counting:
-            elems += ec  # slot sender-class codes
+            elems += S  # slot sender-class codes
         return elems
 
     def init_state(self) -> ShardedState:
@@ -897,15 +1069,15 @@ class ShardedLccEngine:
         z_v = jax.device_put(
             np.zeros((self.n, self.block), dtype=np.uint32), shard2
         )
-        z_e = jax.device_put(np.zeros((self.n, self.ec), dtype=bool), shard2)
+        z_e = jax.device_put(np.zeros((self.n, self.S), dtype=bool), shard2)
         return ShardedState(tv=z_v, edge_alive=z_e, tp_flag=z_e)
 
     def _edge_flags_to_chunks(self, flags: np.ndarray) -> np.ndarray:
-        out = np.zeros((self.n, self.ec), dtype=bool)
-        e = self.graph.num_edges
+        """Flat [E] edge flags -> the per-chunk ELL slot layout."""
+        out = np.zeros((self.n, self.S), dtype=bool)
         for r in range(self.n):
-            lo, hi = r * self.ec, min((r + 1) * self.ec, e)
-            out[r, : hi - lo] = flags[lo:hi]
+            ok = self._slot_to_edge[r] >= 0
+            out[r][ok] = flags[self._slot_to_edge[r][ok]]
         return out
 
     def state_from_global(
@@ -931,16 +1103,21 @@ class ShardedLccEngine:
             alive[state.lazy_edge_ids] = True
             return alive
         if state.packed is not None:
-            # count=ec: each shard packs ec bits into ceil(ec/8) bytes, so
+            # count=S: each shard packs S bits into ceil(S/8) bytes, so
             # the row-trailing pad bits must be dropped before flattening
-            return (
-                np.unpackbits(np.asarray(state.packed), axis=1, count=self.ec)
-                .reshape(-1)[: self.graph.num_edges]
+            ell = (
+                np.unpackbits(np.asarray(state.packed), axis=1, count=self.S)
                 .view(bool)
             )
-        return np.asarray(state.edge_alive).reshape(-1)[
-            : self.graph.num_edges
-        ]
+        else:
+            ell = np.asarray(state.edge_alive)
+        # ELL -> edge order: pad slots are never alive (evalid gates the
+        # superstep), so scatter only the valid slots
+        alive = np.zeros(self.graph.num_edges, dtype=bool)
+        for r in range(self.n):
+            ok = self._slot_to_edge[r] >= 0
+            alive[self._slot_to_edge[r][ok]] = ell[r][ok]
+        return alive
 
     def state_to_global(self, state: ShardedState):
         return self.tv_host(state).copy(), self._alive_host(state)
@@ -1037,18 +1214,20 @@ class ShardedLccEngine:
                 lazy_edge_ids=normalized_edge_ids(edge_ids),
                 lazy_flag_ids=normalized_flag_ids(flag_ids),
             )
-        al = np.zeros(self.n * self.ec, dtype=bool)
-        al[edge_ids] = True  # chunk layout == flat CSR order
-        fl = np.zeros(self.n * self.ec, dtype=bool)
+        al = np.zeros(self.n * self.S, dtype=bool)
+        al[self._edge_to_ellslot[edge_ids]] = True
+        fl = np.zeros(self.n * self.S, dtype=bool)
         if flag_ids is not None and len(flag_ids):
-            fl[np.asarray(flag_ids, dtype=np.int64)] = True
+            fl[
+                self._edge_to_ellslot[np.asarray(flag_ids, dtype=np.int64)]
+            ] = True
         shard2 = NamedSharding(self.mesh, P("x", None))
         tv_p = np.zeros(self.vpad, dtype=np.uint32)
         tv_p[: self.graph.num_vertices] = tv
         return ShardedState(
             tv=jax.device_put(tv_p.reshape(self.n, self.block), shard2),
-            edge_alive=jax.device_put(al.reshape(self.n, self.ec), shard2),
-            tp_flag=jax.device_put(fl.reshape(self.n, self.ec), shard2),
+            edge_alive=jax.device_put(al.reshape(self.n, self.S), shard2),
+            tp_flag=jax.device_put(fl.reshape(self.n, self.S), shard2),
             # astype always copies: the state's host mirror must not alias
             # the caller's array (the driver mutates tv in place)
             tv_np=tv.astype(np.uint32),
@@ -1081,8 +1260,10 @@ class ShardedLccEngine:
         if tp_marks:
             fl = np.asarray(flag).reshape(-1)
             fl = fl.copy()
-            fl[np.asarray(tp_marks, dtype=np.int64)] = True
-            flag = jax.device_put(fl.reshape(self.n, self.ec), shard2)
+            fl[
+                self._edge_to_ellslot[np.asarray(tp_marks, dtype=np.int64)]
+            ] = True
+            flag = jax.device_put(fl.reshape(self.n, self.S), shard2)
         tv_p = np.zeros(self.vpad, dtype=np.uint32)
         tv_p[: self.graph.num_vertices] = tv
         return ShardedState(

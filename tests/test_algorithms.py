@@ -141,3 +141,48 @@ def test_triangle_count_random_vs_bruteforce():
         )
         assert triangle_count(g, wedge_chunk=97) == brute
         assert triangle_count(g) == brute
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_algorithms_match_single_device(ndev):
+    """The distributed classics (algorithms/frontier_sharded.py — the
+    analog of the reference's all-rank MPI drivers, run_bfs.cpp:186,
+    connected_components.hpp:121) must reproduce the single-device
+    fixpoints bit-for-bit on an R-MAT stream with isolated vertices."""
+    import jax
+
+    from fuzzypatternmatching_tpu.algorithms import frontier_sharded as fs
+    from fuzzypatternmatching_tpu.generators.rmat import (
+        RmatParams,
+        generate_edges,
+    )
+
+    assert len(jax.devices()) >= 8
+    parts = [
+        generate_edges(
+            RmatParams(seed=5489 + 3 * r, vertex_scale=10,
+                       edge_count=(16 << 10) // 4, scramble=False)
+        )
+        for r in range(4)
+    ]
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    g = from_edges(src, dst, num_vertices=1 << 10)
+    w = np.random.default_rng(7).random(g.num_edges).astype(np.float32)
+
+    l1, p1 = breadth_first_search(g, 0)
+    l2, p2 = fs.breadth_first_search(g, 0, num_devices=ndev)
+    assert np.array_equal(l1, l2) and np.array_equal(p1, p2)
+    assert np.array_equal(
+        connected_components(g), fs.connected_components(g, num_devices=ndev)
+    )
+    assert np.allclose(
+        pagerank(g), fs.pagerank(g, num_devices=ndev), atol=1e-6
+    )
+    assert np.array_equal(
+        kth_core(g, 4), fs.kth_core(g, 4, num_devices=ndev)
+    )
+    assert np.allclose(
+        sssp(g, 0, w), fs.sssp(g, 0, w, num_devices=ndev),
+        rtol=1e-6, equal_nan=True,
+    )

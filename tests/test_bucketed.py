@@ -133,6 +133,11 @@ def test_init_tv_host_reconstruction(tmp_path):
         from fuzzypatternmatching_tpu.engine.lcc_bucketed import BucketedState
 
         got = ell.alive_pairs(st)
+        # recon-init states defer the S-sized alive materialization
+        # entirely (alive_from_init); _ensure_alive rebuilds it on device
+        # for the reference comparison
+        assert st.alive_from_init and st.alive is None
+        ell._ensure_alive(st)
         ref = ell.alive_pairs(
             BucketedState(
                 ell._tv_device(st), st.alive, st.tp_flag, packed=st.packed
@@ -140,6 +145,18 @@ def test_init_tv_host_reconstruction(tmp_path):
         )
         assert np.array_equal(got[0], ref[0])
         assert np.array_equal(got[1], ref[1])
-        # multi-step and continuation calls must NOT claim reconstructable
-        st2, _r, _d = ell.lcc_call(st, False, n_steps=2)
+        # multi-step and continuation calls must NOT claim reconstructable;
+        # the continuation consumes the DEFERRED alive arrays
+        # (_ensure_alive) and must match a continuation from an explicitly
+        # repacked global state
+        st2, r2, _d = ell.lcc_call(st, False, n_steps=2)
         assert not st2.recon_init
+        tv_g, alive_g = ell.state_to_global(st)
+        ref_st = ell.state_from_global(
+            tv_g, alive_g, np.zeros(g.num_edges, bool)
+        )
+        ref2, rr2, _d2 = ell.lcc_call(ref_st, False, n_steps=2)
+        assert [x[:3] for x in r2] == [x[:3] for x in rr2]
+        tva, ala = ell.state_to_global(st2)
+        tvb, alb = ell.state_to_global(ref2)
+        assert np.array_equal(tva, tvb) and np.array_equal(ala, alb)

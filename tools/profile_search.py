@@ -1,4 +1,8 @@
-"""Phase-level profile of the full s21 search (warm-up + measured)."""
+"""Phase-level profile of the full search (warm-up + measured).
+
+BENCH_SCALE selects the workload (default 21) — used round 5 to decompose
+the s22 scaling outlier (VERDICT r04 #4) into LP device time, TP time, and
+the host/other remainder per scale."""
 
 import os
 import sys
@@ -21,13 +25,14 @@ from fuzzypatternmatching_tpu.pattern.builtin import load_tree_pattern
 
 
 def main():
-    base = os.path.join(REPO, ".bench_cache", "rmat_s21")
+    scale = int(os.environ.get("BENCH_SCALE", "21"))
+    base = os.path.join(REPO, ".bench_cache", f"rmat_s{scale}")
     if os.path.exists(os.path.join(base, "meta.json")):
         g, labels, _ = storage.load(base)
     else:
         import bench
 
-        g, labels = bench.build_or_load_graph(21)
+        g, labels = bench.build_or_load_graph(scale)
     pat, cons = load_tree_pattern(tempfile.mkdtemp())
     eng = MatchEngine(g, labels, pat, cons)
     t0 = time.time()
