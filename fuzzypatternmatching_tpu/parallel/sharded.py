@@ -755,78 +755,44 @@ class ShardedLccEngine:
             ellrow_row, seg_id_wide, row_to_segpos, init_slotmask,
         ) = ops_loc[pos : pos + 4]
 
-        # --- segmented primitives over the chunk's ELL buckets ------------
+        # --- per-bucket formulation over the chunk's ELL layout -----------
         # Every segment OR/sum/broadcast is a dense per-bucket reduction
         # or broadcast (VPU-vectorized) plus one small static gather —
         # the bucketed plane's formulation (lcc_bucketed.py) applied per
         # shard. This replaced the round-4 cummax-scan formulation whose
         # ~8-22 log-depth passes per superstep were the measured mesh
-        # n=1 tax (BENCH_SHARDED_CHIP.json, docs/ROOFLINE.md).
+        # n=1 tax (BENCH_SHARDED_CHIP.json, docs/ROOFLINE.md). The loop
+        # processes one bucket at a time so temporaries are bucket-sized;
+        # only the payload halo, the state arrays, and the accept planes
+        # (bool) stay S-sized — a flat-[S] formulation of the same math
+        # held ~10 uint32 [S] temporaries live and exceeded HBM at s21.
         buckets = self.ell_buckets  # (we, w, off, nb, row_off)
+        last = len(buckets) - 1
+        u32 = jnp.uint32
 
-        def seg_or(bits, nbits=None):
-            """Per-local-row OR of uint32 bitsets ([S] -> [rmax])."""
-            parts = []
-            for bi, (we, w, off, nb, roff) in enumerate(buckets):
-                rowvals = jax.lax.reduce(
-                    bits[off : off + nb * w].reshape(nb, w),
-                    np.uint32(0), jax.lax.bitwise_or, dimensions=[1],
-                )
-                if bi == len(buckets) - 1:
-                    rowvals = self._segment_or(
-                        rowvals, seg_id_wide, self.nseg_wide
-                    )
-                parts.append(rowvals)
-            segall = jnp.concatenate(parts + [jnp.zeros(1, jnp.uint32)])
+        def rows_from_parts(parts, dtype=jnp.uint32):
+            """Concat per-bucket distinct-row values -> [rmax] via the
+            static row_to_segpos gather (pads read the appended zero)."""
+            segall = jnp.concatenate(parts + [jnp.zeros(1, dtype)])
             return segall[row_to_segpos]
 
-        def seg_sum(vals):
-            """Per-local-row sum ([S] -> [rmax])."""
-            parts = []
-            for bi, (we, w, off, nb, roff) in enumerate(buckets):
-                rowvals = jnp.sum(
-                    vals[off : off + nb * w].reshape(nb, w).astype(jnp.int32),
-                    axis=1,
-                )
-                if bi == len(buckets) - 1:
-                    rowvals = jax.ops.segment_sum(
-                        rowvals, seg_id_wide, num_segments=self.nseg_wide
-                    )
-                parts.append(rowvals)
-            segall = jnp.concatenate(parts + [jnp.zeros(1, jnp.int32)])
-            return segall[row_to_segpos]
+        def wide_or(vals):
+            return self._segment_or(vals, seg_id_wide, self.nseg_wide)
 
-        def seg_bcast(row_vals, nbits=None):
-            """Per-row values spread along each row's slots
-            ([rmax] -> [S]): one small gather to ELL rows, then dense
-            per-bucket broadcasts."""
-            rv_pad = jnp.concatenate(
-                [row_vals.astype(jnp.uint32), jnp.zeros(1, jnp.uint32)]
+        def ell_gather(row_vals, fill):
+            """[rmax] row values -> per-ELL-row values [n_ellrows]."""
+            pad = jnp.concatenate(
+                [row_vals, jnp.full(1, fill, row_vals.dtype)]
             )
-            per_ell = rv_pad[ellrow_row]  # [n_ellrows]
-            parts = [
-                jnp.broadcast_to(
-                    per_ell[roff : roff + nb, None], (nb, w)
-                ).reshape(-1)
-                for (we, w, off, nb, roff) in buckets
-            ]
-            return jnp.concatenate(parts)
+            return pad[ellrow_row]
 
+        # --- row-space prep (V-sized, cheap) ------------------------------
         if init:
             tv_loc = label_tv_own
-            # tv == label_tv at init: rebuild neighbor bitsets from the
-            # precomputed per-slot label codes — no exchange needed
-            p_bits = jnp.zeros((S,), dtype=jnp.uint32)
-            for cidx, bits in self._init_pairs:
-                p_bits = p_bits | jnp.where(
-                    adj_code == cidx, bits, jnp.uint32(0)
-                )
-            send_ok = p_bits != 0
             rowtv = init_rowtv if meta else None
-            mask_slots = init_slotmask  # precomputed: no [lrow] gather
         else:
-            # --- row-tv halo: only this chunk's CONTIGUOUS row range
-            # moves (column tv arrives via the payload exchange below)
+            # row-tv halo: only this chunk's CONTIGUOUS row range moves
+            # (column tv arrives via the payload exchange below)
             if self._tv_identity:
                 szH = n * self.halo_h
                 base = (
@@ -847,74 +813,162 @@ class ShardedLccEngine:
                     [recv.reshape(-1), jnp.zeros(1, jnp.uint32)]
                 )
             rowtv = tvH[rowmap]
-            # --- payload halo (the bucketed plane's one-gather trick in
-            # distributed form): per slot t = (v -> u), the payload word
-            # (alive(t) << 31 | tv[v]) built on t's OWNER with streaming
-            # scans; the receiver of the reverse edge s reads
-            # payload[rev(s)] = (alive[rev(s)], tv[col(s)]) in ONE
-            # permutation gather instead of the former three
-            # (tvH[colmap], al_pad[sendidx], alH[revmap])
-            rowbits_slots = seg_bcast(rowtv)
-            payload_loc = (
-                jnp.where(
-                    alive_loc, jnp.uint32(0x80000000), jnp.uint32(0)
+            rt_ell = ell_gather(rowtv, 0)
+            if not meta:
+                m_ell = ell_gather(self._or_over_bits(rowtv), 0)
+        if meta:
+            rb_ell = ell_gather(rowtv, 0)  # receiver bits per ELL row
+
+        # --- payload halo (the bucketed plane's one-gather trick in
+        # distributed form): per slot t = (v -> u), the payload word
+        # (alive(t) << 31 | tv[v]) built on t's OWNER; the receiver of
+        # the reverse edge s reads payload[rev(s)] = (alive[rev(s)],
+        # tv[col(s)]) in ONE permutation gather ------------------------
+        if not init:
+            pl_parts = []
+            for (we, w, off, nb, roff) in buckets:
+                oa = alive_loc[off : off + nb * w].reshape(nb, w)
+                pl_parts.append(
+                    (
+                        jnp.where(oa, u32(0x80000000), u32(0))
+                        | rt_ell[roff : roff + nb][:, None]
+                    ).reshape(-1)
                 )
-                | rowbits_slots
+            payload_pad = jnp.concatenate(
+                pl_parts + [jnp.zeros(1, jnp.uint32)]
             )
             if self._al_identity:
+                # n=1: halo_hrev == S, so payload_pad IS plH (no copy)
                 szA = n * self.halo_hrev
-                base = (
-                    payload_loc[:szA]
-                    if payload_loc.shape[0] >= szA
+                plH = (
+                    payload_pad
+                    if payload_pad.shape[0] == szA + 1
                     else jnp.concatenate(
-                        [payload_loc,
-                         jnp.zeros(szA - payload_loc.shape[0], jnp.uint32)]
+                        [payload_pad,
+                         jnp.zeros(szA + 1 - payload_pad.shape[0],
+                                   jnp.uint32)]
                     )
                 )
-                plH = jnp.concatenate([base, jnp.zeros(1, jnp.uint32)])
             else:
-                pl_pad = jnp.concatenate(
-                    [payload_loc, jnp.zeros(1, jnp.uint32)]
-                )
                 recva = jax.lax.all_to_all(
-                    pl_pad[sendidx_al], "x", split_axis=0, concat_axis=0
+                    payload_pad[sendidx_al], "x", split_axis=0,
+                    concat_axis=0,
                 )
                 plH = jnp.concatenate(
                     [recva.reshape(-1), jnp.zeros(1, jnp.uint32)]
                 )
-            p = plH[revmap]
-            p_bits = p & jnp.uint32(0x7FFFFFFF)
-            send_ok = (
-                (p_bits != 0)
-                & (p >= jnp.uint32(0x80000000))
-                & evalid
-            )
-            p_bits = jnp.where(send_ok, p_bits, jnp.uint32(0))
-            mask_slots = seg_bcast(self._or_over_bits(rowtv))
+
+        # --- per-bucket compute: accept planes, tn partials, counters -----
+        if self.counting:
+            pairs = [
+                (i, j, int(self.required[i, j]))
+                for i in range(self.k)
+                for j in range(self.required.shape[1])
+                if self.required[i, j] > 0
+            ]
+            cnt_parts = [[] for _ in pairs]
+        if meta:
+            tn_i_parts = [[] for _ in range(self.k)]
+            accany_parts = []
+        else:
+            tn_parts = []
+        acc_parts = []  # per-bucket accept planes (bool), for the alive pass
+        if R == 1:
+            msg_acc = jnp.int32(0)
+        else:
+            rank_ell = (
+                rowstart[0].astype(jnp.int32)
+                + jnp.minimum(ellrow_row, rmax - 1)
+            ) % R
+            msg_acc = jnp.zeros(R, dtype=jnp.int32)
+        for bi, (we, w, off, nb, roff) in enumerate(buckets):
+            sl = slice(off, off + nb * w)
+            if init:
+                code_b = adj_code[sl].reshape(nb, w)
+                p_b = jnp.zeros((nb, w), dtype=jnp.uint32)
+                for cidx, bits in self._init_pairs:
+                    p_b = p_b | jnp.where(code_b == cidx, bits, u32(0))
+                send_ok_b = p_b != 0
+            else:
+                p_raw = plH[revmap[sl]].reshape(nb, w)
+                p_b = p_raw & u32(0x7FFFFFFF)
+                ev_b = evalid[sl].reshape(nb, w)
+                send_ok_b = (
+                    (p_b != 0) & (p_raw >= u32(0x80000000)) & ev_b
+                )
+                p_b = jnp.where(send_ok_b, p_b, u32(0))
+            if meta:
+                mc_b = mc[sl].reshape(nb, w)
+                mask_b = jnp.zeros((nb, w), dtype=jnp.uint32)
+                for i in range(self.k):
+                    allow_i = jnp.take(self.meta_allow[:, i], mc_b)
+                    has_i = ((rb_ell[roff : roff + nb] >> i) & 1) != 0
+                    mask_b = mask_b | jnp.where(
+                        has_i[:, None], allow_i, u32(0)
+                    )
+                    tn_i_b = jax.lax.reduce(
+                        p_b & allow_i, np.uint32(0), jax.lax.bitwise_or,
+                        dimensions=[1],
+                    )
+                    tn_i_parts[i].append(
+                        wide_or(tn_i_b) if bi == last else tn_i_b
+                    )
+                accept_b = (p_b & mask_b) != 0
+                aa_b = jax.lax.reduce(
+                    accept_b.astype(jnp.uint32), np.uint32(0),
+                    jax.lax.bitwise_or, dimensions=[1],
+                )
+                accany_parts.append(wide_or(aa_b) if bi == last else aa_b)
+                pa_b = None
+            else:
+                if init:
+                    mask_b = init_slotmask[sl].reshape(nb, w)
+                    accept_b = (p_b & mask_b) != 0
+                else:
+                    accept_b = (
+                        p_b & m_ell[roff : roff + nb][:, None]
+                    ) != 0
+                pa_b = jnp.where(accept_b, p_b, u32(0))
+                tn_b = jax.lax.reduce(
+                    pa_b, np.uint32(0), jax.lax.bitwise_or, dimensions=[1]
+                )
+                tn_parts.append(wide_or(tn_b) if bi == last else tn_b)
+            if self.counting:
+                cls_b = cls[sl].reshape(nb, w)
+                for idx, (i, j, _req) in enumerate(pairs):
+                    if meta:
+                        acc_i_b = (
+                            p_b & jnp.take(self.meta_allow[:, i], mc_b)
+                        ) != 0
+                    else:
+                        acc_i_b = (pa_b & self.adj_all[i]) != 0
+                    cnt_b = jnp.sum(
+                        (acc_i_b & (cls_b == j + 1)).astype(jnp.int32),
+                        axis=1,
+                    )
+                    if bi == last:
+                        cnt_b = jax.ops.segment_sum(
+                            cnt_b, seg_id_wide,
+                            num_segments=self.nseg_wide,
+                        )
+                    cnt_parts[idx].append(cnt_b)
+            acc_parts.append(accept_b)
+            sor = jnp.sum(send_ok_b, axis=1, dtype=jnp.int32)  # [nb]
+            if R == 1:
+                msg_acc = msg_acc + jnp.sum(sor)
+            else:
+                msg_acc = msg_acc + jax.ops.segment_sum(
+                    sor, rank_ell[roff : roff + nb], num_segments=R
+                )
 
         if meta:
-            # per-slot allowed-parent masks (the slot's metadata code
-            # selects the allow row); tn accumulated per receiver bit
-            rowbits = seg_bcast(rowtv)  # receiver's current bits per slot
-            mask = jnp.zeros_like(p_bits)
-            tn_cols = []
-            for i in range(self.k):
-                allow_i = jnp.take(self.meta_allow[:, i], mc)
-                has_i = ((rowbits >> i) & 1) != 0
-                mask = mask | jnp.where(has_i, allow_i, jnp.uint32(0))
-                tn_cols.append(seg_or(p_bits & allow_i))
-            accept = (p_bits & mask) != 0
-            pa = jnp.where(accept, p_bits, jnp.uint32(0))
-            # accept-any plane rides the exchange as column K (in_map);
-            # OR == max on 0/1 values
-            acc_any = seg_or(accept.astype(jnp.uint32), nbits=1)
-            stack = jnp.stack(tn_cols + [acc_any], axis=1)  # [rmax, K+1]
+            stack = jnp.stack(
+                [rows_from_parts(tn_i_parts[i]) for i in range(self.k)]
+                + [rows_from_parts(accany_parts)],
+                axis=1,
+            )  # [rmax, K+1] (accept-any plane = column K, for in_map)
         else:
-            accept = (p_bits & mask_slots) != 0
-            pa = jnp.where(accept, p_bits, jnp.uint32(0))
-            # partial neighbor-bitset OR per local row (hub rows spanning
-            # chunks produce partials on several devices)
-            stack = seg_or(pa)[:, None]  # [rmax, 1]
+            stack = rows_from_parts(tn_parts)[:, None]  # [rmax, 1]
 
         # --- deliver partials to tv owners and OR-combine -----------------
         C = stack.shape[1]
@@ -943,24 +997,13 @@ class ShardedLccEngine:
         if self.counting:
             # per-(template-vertex, class) counts: per-row partial sums,
             # ADD-combined at the vertex owner (counting_ee.hpp:784-790)
-            pairs = [
-                (i, j, int(self.required[i, j]))
-                for i in range(self.k)
-                for j in range(self.required.shape[1])
-                if self.required[i, j] > 0
-            ]
-            cnt_cols = []
-            for i, j, _req in pairs:
-                if meta:
-                    acc_i = (
-                        p_bits & jnp.take(self.meta_allow[:, i], mc)
-                    ) != 0
-                else:
-                    acc_i = (pa & self.adj_all[i]) != 0
-                cnt_cols.append(
-                    seg_sum((acc_i & (cls == j + 1)).astype(jnp.int32))
-                )
-            cnt_stack = jnp.stack(cnt_cols, axis=1)  # [rmax, P]
+            cnt_stack = jnp.stack(
+                [
+                    rows_from_parts(cnt_parts[idx], dtype=jnp.int32)
+                    for idx in range(len(pairs))
+                ],
+                axis=1,
+            )  # [rmax, P]
             cnt_pad = jnp.concatenate(
                 [cnt_stack, jnp.zeros((1, len(pairs)), jnp.int32)], axis=0
             )
@@ -996,18 +1039,37 @@ class ShardedLccEngine:
         for o in range(n):
             row_tv = row_tv.at[sendrows[o]].set(recvr[o], mode="drop")
 
-        row_live = seg_bcast((row_tv != 0), nbits=1) != 0
-        if init:
-            new_alive = accept & row_live
+        lv_ell = ell_gather(row_tv, 0) != 0  # live rows per ELL row
+        alive_parts = []
+        if R == 1:
+            ae_acc = jnp.int32(0)
         else:
-            new_alive = alive_loc & (accept | flag_loc) & row_live
+            ae_acc = jnp.zeros(R, dtype=jnp.int32)
+        for bi, (we, w, off, nb, roff) in enumerate(buckets):
+            sl = slice(off, off + nb * w)
+            rl_b = lv_ell[roff : roff + nb][:, None]
+            if init:
+                na_b = acc_parts[bi] & rl_b
+            else:
+                oa_b = alive_loc[sl].reshape(nb, w)
+                of_b = flag_loc[sl].reshape(nb, w)
+                na_b = oa_b & (acc_parts[bi] | of_b) & rl_b
+            alive_parts.append(na_b.reshape(-1))
+            nar = jnp.sum(na_b, axis=1, dtype=jnp.int32)
+            if R == 1:
+                ae_acc = ae_acc + jnp.sum(nar)
+            else:
+                ae_acc = ae_acc + jax.ops.segment_sum(
+                    nar, rank_ell[roff : roff + nb], num_segments=R
+                )
+        new_alive = jnp.concatenate(alive_parts)
 
         # --- per-output-rank attribution (owner = global id % R,
         # beta.cpp:1112-1125), psum-reduced to exact per-rank counts ------
         if R == 1:
             av_r = jax.lax.psum(jnp.sum(new_tv != 0, dtype=jnp.int32), "x")[None]
-            ae_r = jax.lax.psum(jnp.sum(new_alive, dtype=jnp.int32), "x")[None]
-            msg_r = jax.lax.psum(jnp.sum(send_ok, dtype=jnp.int32), "x")[None]
+            ae_r = jax.lax.psum(ae_acc, "x")[None]
+            msg_r = jax.lax.psum(msg_acc, "x")[None]
         else:
             r_idx = jax.lax.axis_index("x")
             gid = r_idx.astype(jnp.int32) * b + jnp.arange(b, dtype=jnp.int32)
@@ -1017,19 +1079,8 @@ class ShardedLccEngine:
                 ),
                 "x",
             )
-            slot_rank = (rowstart[0].astype(jnp.int32) + lrow) % R
-            ae_r = jax.lax.psum(
-                jax.ops.segment_sum(
-                    new_alive.astype(jnp.int32), slot_rank, num_segments=R
-                ),
-                "x",
-            )
-            msg_r = jax.lax.psum(
-                jax.ops.segment_sum(
-                    send_ok.astype(jnp.int32), slot_rank, num_segments=R
-                ),
-                "x",
-            )
+            ae_r = jax.lax.psum(ae_acc, "x")
+            msg_r = jax.lax.psum(msg_acc, "x")
         any_died = jax.lax.pmax(jnp.any(died).astype(jnp.int32), "x")
         return (
             new_tv[None],
