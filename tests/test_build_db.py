@@ -152,3 +152,71 @@ def test_page_cache_advise(tmp_path):
     # and the db still reads correctly after advice
     assert (db.cols_range(0, db.num_edges) ==
             g.cols).all()
+
+
+def _dist_build_proc(base, pid, nproc, labels, q):
+    import numpy as np
+
+    from fuzzypatternmatching_tpu.graph.build import (
+        build_db_from_chunks_distributed,
+    )
+
+    v = 64
+    rng = np.random.default_rng(42)
+    src = rng.integers(0, v, 600)
+    dst = rng.integers(0, v, 600)
+    # symmetrize, then slice the stream by process
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    lo = pid * len(s) // nproc
+    hi = (pid + 1) * len(s) // nproc
+    try:
+        build_db_from_chunks_distributed(
+            base, iter([(s[lo:hi], d[lo:hi])]), v, pid, nproc,
+            num_shards=4, labels=labels, timeout=60.0,
+        )
+        q.put((pid, None))
+    except Exception as e:  # noqa: BLE001
+        q.put((pid, f"{type(e).__name__}: {e}"))
+
+
+def test_distributed_build_validates_labels(tmp_path):
+    """Explicitly passed labels must be identical on every process: a
+    divergent array fails loudly (sha256 cross-check through the work
+    dir) instead of silently writing divergent shards (advisor round-4
+    finding)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    v = 64
+    good = np.arange(v, dtype=np.uint64) % 5
+
+    # identical labels: both processes succeed
+    base = str(tmp_path / "ok")
+    q = ctx.Queue()
+    ps = [
+        ctx.Process(target=_dist_build_proc, args=(base, pid, 2, good, q))
+        for pid in range(2)
+    ]
+    [p.start() for p in ps]
+    [p.join(120) for p in ps]
+    res = dict(q.get(timeout=10) for _ in ps)
+    assert res == {0: None, 1: None}, res
+
+    # divergent labels: at least the diverging process raises ValueError
+    base2 = str(tmp_path / "bad")
+    bad = good.copy()
+    bad[3] += 1
+    q2 = ctx.Queue()
+    ps = [
+        ctx.Process(
+            target=_dist_build_proc,
+            args=(base2, pid, 2, good if pid == 0 else bad, q2),
+        )
+        for pid in range(2)
+    ]
+    [p.start() for p in ps]
+    [p.join(120) for p in ps]
+    res2 = dict(q2.get(timeout=10) for _ in ps)
+    errs = [e for e in res2.values() if e]
+    assert errs and any("labels mismatch" in e for e in errs), res2
