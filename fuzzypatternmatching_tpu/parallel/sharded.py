@@ -1116,11 +1116,21 @@ class ShardedLccEngine:
         return elems
 
     def init_state(self) -> ShardedState:
-        shard2 = NamedSharding(self.mesh, P("x", None))
-        z_v = jax.device_put(
-            np.zeros((self.n, self.block), dtype=np.uint32), shard2
-        )
-        z_e = jax.device_put(np.zeros((self.n, self.S), dtype=bool), shard2)
+        # zeros are created ON DEVICE (a host-side np.zeros would ship
+        # n*S ~ E bytes through the tunnel on every search) and cached —
+        # jax arrays are immutable and the call programs don't donate
+        if getattr(self, "_zero_state", None) is None:
+            shard2 = NamedSharding(self.mesh, P("x", None))
+            z_v = jax.jit(
+                lambda: jnp.zeros((self.n, self.block), dtype=jnp.uint32),
+                out_shardings=shard2,
+            )()
+            z_e = jax.jit(
+                lambda: jnp.zeros((self.n, self.S), dtype=bool),
+                out_shardings=shard2,
+            )()
+            self._zero_state = (z_v, z_e)
+        z_v, z_e = self._zero_state
         return ShardedState(tv=z_v, edge_alive=z_e, tp_flag=z_e)
 
     def _edge_flags_to_chunks(self, flags: np.ndarray) -> np.ndarray:
@@ -1153,6 +1163,15 @@ class ShardedLccEngine:
             alive = np.zeros(self.graph.num_edges, dtype=bool)
             alive[state.lazy_edge_ids] = True
             return alive
+        alive = np.zeros(self.graph.num_edges, dtype=bool)
+        ids = self._alive_slot_edge_ids(state)
+        alive[ids] = True
+        return alive
+
+    def _alive_slot_edge_ids(self, state: ShardedState) -> np.ndarray:
+        """Original edge ids of the set ELL slots, ascending. Pad slots
+        are never alive (evalid gates the superstep), so the alive count
+        — not E — bounds the translation work."""
         if state.packed is not None:
             # count=S: each shard packs S bits into ceil(S/8) bytes, so
             # the row-trailing pad bits must be dropped before flattening
@@ -1162,13 +1181,8 @@ class ShardedLccEngine:
             )
         else:
             ell = np.asarray(state.edge_alive)
-        # ELL -> edge order: pad slots are never alive (evalid gates the
-        # superstep), so scatter only the valid slots
-        alive = np.zeros(self.graph.num_edges, dtype=bool)
-        for r in range(self.n):
-            ok = self._slot_to_edge[r] >= 0
-            alive[self._slot_to_edge[r][ok]] = ell[r][ok]
-        return alive
+        sel = np.nonzero(ell.reshape(-1))[0]
+        return np.sort(self._slot_to_edge.reshape(-1)[sel])
 
     def state_to_global(self, state: ShardedState):
         return self.tv_host(state).copy(), self._alive_host(state)
@@ -1233,9 +1247,9 @@ class ShardedLccEngine:
             if out is not None:
                 state.pairs_cache = out
                 return state.pairs_cache[:2]
-            ids = np.nonzero(self._alive_host(state))[0]
+            ids = self._alive_slot_edge_ids(state)
         else:
-            ids = np.nonzero(self._alive_host(state))[0]
+            ids = self._alive_slot_edge_ids(state)
         state.pairs_cache = (
             self.graph.edge_row_at(ids).astype(np.int64),
             self.graph.cols_at(ids).astype(np.int64),

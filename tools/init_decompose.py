@@ -160,14 +160,50 @@ def main():
         }
         log(f"[{name}] best {results[name]['best_ms']} ms")
 
+    # --- the PRODUCTION init program (what bench.py's search actually
+    # dispatches: _call_init1_seg via lcc_call) — measured directly and
+    # recorded commit-stamped as the roofline floor bench.py reads
+    # (advisor round-4 finding: a hardcoded floor silently goes stale)
+    log("[production] warm-up...")
+    eng.lcc_call(eng.init_state(), True, n_steps=1)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        st = eng.lcc_call(eng.init_state(), True, n_steps=1)
+        # lcc_call pulls the combo buffer synchronously; timing includes
+        # the V/8-byte download, like the production search does
+        times.append(time.time() - t0)
+    production = {
+        "best_ms": round(min(times) * 1e3, 1),
+        "times_ms": [round(t * 1e3, 1) for t in times],
+    }
+    log(f"[production] best {production['best_ms']} ms")
+
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    prev_floor = {}
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev_floor = json.load(f).get("production_floor", {})
+    prev_floor[str(scale)] = {**production, "commit": commit}
     out = {
         "metric": f"bucketed init-superstep ablations, R-MAT s{scale}, "
                   "one real chip (best of 5, warm program)",
         "variants": results,
+        "production_floor": prev_floor,
         "note": "no_exit_perm drops the V-sized seg_all[inv_perm] "
                 "gather; no_entry_seg replaces the V-sized tv[seg_rows] "
                 "gather with a precomputed constant; no_pack drops the "
-                "packbits transfer-prep outputs.",
+                "packbits transfer-prep outputs. production_floor times "
+                "the real lcc_call init program incl. the combo download "
+                "(bench.py reads it as roofline_floor_seconds).",
     }
     with open(os.path.join(REPO, "BENCH_INIT_DECOMPOSE.json"), "w") as f:
         json.dump(out, f, indent=1)
