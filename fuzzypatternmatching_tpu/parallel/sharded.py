@@ -158,7 +158,14 @@ class ShardedLccEngine:
         # Bucket shapes are unified across chunks (shard_map runs ONE
         # program on every shard): nb[width] = max over chunks, padded
         # rows inert (evalid False, code 0, row sentinel rmax).
-        MIN_WE, MAX_WE = 3, 13  # widths 8 .. 8192 (same caps as bucketed)
+        # Half-step widths, capped at 1024: vs pow2-to-8192 buckets this
+        # cuts the ELL pad inflation 1.44x -> 1.22x at s21 (76.9M vs
+        # 90.8M slots) — and the continuation superstep is gather-LANE
+        # bound, so pad lanes cost like real ones. Hub fragments longer
+        # than the cap split into cap-wide (fully dense) pieces.
+        WIDTHS = [8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384,
+                  512, 768, 1024]
+        CAP = WIDTHS[-1]
         frag_rows, frag_offs, frag_lens, frag_wes = [], [], [], []
         col_chunks = []
         for r in range(n):
@@ -175,31 +182,31 @@ class ShardedLccEngine:
             hpos = np.nonzero(heads)[0]
             flen = np.diff(np.concatenate((hpos, [cnt])))
             frow, foff = lr[hpos], hpos
-            # split fragments wider than the cap into MAX_W-wide pieces
-            npieces = -(-flen // (1 << MAX_WE))
+            # split fragments wider than the cap into CAP-wide pieces
+            npieces = -(-flen // CAP)
             prow = np.repeat(frow, npieces)
             pidx = np.arange(len(prow)) - np.repeat(
                 np.cumsum(npieces) - npieces, npieces
             )
-            poff = np.repeat(foff, npieces) + pidx * (1 << MAX_WE)
+            poff = np.repeat(foff, npieces) + pidx * CAP
             plen = np.minimum(
-                np.repeat(foff + flen, npieces) - poff, 1 << MAX_WE
+                np.repeat(foff + flen, npieces) - poff, CAP
             )
-            pwe = np.clip(
-                np.ceil(np.log2(np.maximum(plen, 1))).astype(np.int64),
-                MIN_WE, MAX_WE,
-            )
+            # width index: smallest listed width >= piece length
+            pwe = np.searchsorted(WIDTHS, np.maximum(plen, WIDTHS[0]))
             # ALL pieces of a split fragment stay in the widest bucket
             # (a short tail piece in a narrower bucket would scatter one
             # row across two buckets and lose a partial in the combine)
-            pwe = np.where(np.repeat(npieces > 1, npieces), MAX_WE, pwe)
+            pwe = np.where(
+                np.repeat(npieces > 1, npieces), len(WIDTHS) - 1, pwe
+            )
             frag_rows.append(prow)
             frag_offs.append(poff)
             frag_lens.append(plen)
             frag_wes.append(pwe)
         wes_present = sorted(
             set(int(w) for ws in frag_wes for w in np.unique(ws))
-        ) or [MIN_WE]
+        ) or [0]
         # unified bucket table: per width, rows = max pieces over chunks
         nb_by_we = {
             we: max(
@@ -208,19 +215,19 @@ class ShardedLccEngine:
             for we in wes_present
         }
         nb_by_we = {we: max(nb, 1) for we, nb in nb_by_we.items()}
-        self.ell_buckets = []  # (we, width, slot_off, nb, row_off)
+        self.ell_buckets = []  # (width_idx, width, slot_off, nb, row_off)
         off = row_off = 0
         for we in wes_present:
             nb = nb_by_we[we]
-            self.ell_buckets.append((we, 1 << we, off, nb, row_off))
-            off += nb << we
+            w = WIDTHS[we]
+            self.ell_buckets.append((we, w, off, nb, row_off))
+            off += nb * w
             row_off += nb
         self.S = S = off
         self.n_ellrows = row_off
 
         # per-chunk static tables in ELL order
         slot_to_edge = np.full((n, S), -1, dtype=np.int64)
-        evalid_s = np.zeros((n, S), dtype=bool)
         row_of_slot = np.full((n, S), rmax, dtype=np.int32)
         ellrow_row = np.full((n, self.n_ellrows), rmax, dtype=np.int32)
         # split-fragment combine (widest bucket only): per ELL row its
@@ -237,7 +244,6 @@ class ShardedLccEngine:
                     fo, fl = int(frag_offs[r][f]), int(frag_lens[r][f])
                     s0 = boff + j * w
                     slot_to_edge[r, s0 : s0 + fl] = lo + fo + np.arange(fl)
-                    evalid_s[r, s0 : s0 + fl] = True
                     row_of_slot[r, s0 : s0 + fl] = frow
                     ellrow_row[r, broff + j] = frow
         # distinct-row (seg) spaces per bucket; only the widest bucket can
@@ -498,9 +504,6 @@ class ShardedLccEngine:
             self.required = None
             cls_s = None
 
-        # host copies for the slot-space fast path (alive_pairs et al.)
-        self._np_evalid = evalid_s
-
         # --- measured communication volumes (new_mailbox.hpp send/recv
         # counter analog): per-device USEFUL entries moved by each of the
         # three per-superstep all_to_alls, split intra-/cross-device, plus
@@ -566,7 +569,11 @@ class ShardedLccEngine:
         shard3 = NamedSharding(mesh, P("x", None, None))
         ops = [
             jax.device_put(row_of_slot, shard2),
-            jax.device_put(evalid_s, shard2),
+            # pad slots are inert by construction (revmap sentinel reads
+            # the appended zero payload; label codes 0 at init), so no
+            # per-slot validity table is needed — a dummy keeps the
+            # operand tuple's shape protocol
+            jax.device_put(np.zeros((n, 1), dtype=bool), shard2),
             jax.device_put(rowmap, shard2),
             jax.device_put(revmap, shard2),
             # identity fast paths never read the send index lists — don't
@@ -892,10 +899,9 @@ class ShardedLccEngine:
             else:
                 p_raw = plH[revmap[sl]].reshape(nb, w)
                 p_b = p_raw & u32(0x7FFFFFFF)
-                ev_b = evalid[sl].reshape(nb, w)
-                send_ok_b = (
-                    (p_b != 0) & (p_raw >= u32(0x80000000)) & ev_b
-                )
+                # pads need no gate: their revmap sentinel reads the
+                # appended zero payload word, which fails both tests
+                send_ok_b = (p_b != 0) & (p_raw >= u32(0x80000000))
                 p_b = jnp.where(send_ok_b, p_b, u32(0))
             if meta:
                 mc_b = mc[sl].reshape(nb, w)
@@ -1104,7 +1110,7 @@ class ShardedLccEngine:
         S = self.S
         elems = (
             2 * b  # tv block + label-tv block
-            + 7 * S  # alive/flag/row_of_slot/evalid/revmap/code/init_slotmask
+            + 6 * S  # alive/flag/row_of_slot/revmap/code/init_slotmask
             + 2 * rmax  # rowmap + row_to_segpos
             + self.n_ellrows  # ellrow_row
             + n * (self.halo_h + self.halo_hrev + 2 * self.halo_k)

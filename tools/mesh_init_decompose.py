@@ -17,10 +17,12 @@ their cost is exact):
                      dropped): the irreducible label-replay + seg-OR +
                      owner-exchange core
   cont_full        — ONE continuation superstep (payload build + rev
-                     gather + seg machinery + exchanges)
-  cont_no_gather   — the payload[rev] permutation gather replaced by a
-                     roll (streaming read): isolates the gather wall
-                     from the (now dense) segment machinery
+                     gather + seg machinery + exchanges). CAVEAT: the
+                     measured round-5 value (0.1 ms) is the known bogus
+                     isolated-microbench artifact of the remote relay
+                     (CLAUDE.md) — continuation cost must be taken from
+                     end-to-end full_plane walls (BENCH_SHARDED_CHIP),
+                     where it is ~(wall - init - dispatches)/supersteps.
 
 Writes BENCH_MESH_DECOMPOSE.json. Run on the real chip:
   PYTHONPATH=/root/repo:/root/.axon_site python tools/mesh_init_decompose.py
