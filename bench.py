@@ -88,7 +88,13 @@ ANCHORS = {
         "subgraphs": 74,
         "traversed_edges": 13207467,
     },
-    # s22/s23: pinned when re-measured this round (the round-4 numbers
+    22: {
+        "active_vertices": 412,
+        "active_edges": 744,
+        "subgraphs": 296,
+        "traversed_edges": 30730528,
+    },
+    # s23: pinned when re-measured this round (the round-4 numbers
     # recorded only rounded traversed counts) — see tools/sweep.py cells.
 }
 

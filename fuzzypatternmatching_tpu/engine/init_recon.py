@@ -82,30 +82,47 @@ def recon_pairs(graph, pattern, label_tv: np.ndarray, live: np.ndarray):
     starts = rp[rows].astype(np.int64)
     lens = (rp[rows + 1] - rp[rows]).astype(np.int64)
     total = int(lens.sum())
-    if total > max(graph.num_edges // 8, 1 << 22):
-        return None  # weak pruning: the packed download is cheaper
     # native fast path: one threaded pass over the CSR ranges instead of
     # ~7 numpy passes (needs materialized contiguous int64 arrays — a
     # memmap-backed GraphDb uses the numpy accessor path below)
     cols_arr = getattr(graph, "cols", None)
-    if (
+    native_ok = (
         isinstance(cols_arr, np.ndarray)
         and cols_arr.dtype == np.int64
         and cols_arr.flags.c_contiguous
         and isinstance(rp, np.ndarray)
         and rp.dtype == np.int64
         and rp.flags.c_contiguous
-    ):
+    )
+    if native_ok:
         from .. import native
 
-        if native.available():
-            am = or_over_bits_np(pattern, label_tv[rows])
-            return native.recon_pairs_native(
-                rp, cols_arr,
-                np.ascontiguousarray(label_tv, dtype=np.uint32),
-                np.ascontiguousarray(am, dtype=np.uint32),
-                rows.astype(np.int64), total,
-            )
+        native_ok = native.available()
+    # Bailout threshold: the host pass must beat the fallback (an
+    # _ensure_alive device dispatch + tunnel round trip + S/8-byte packed
+    # download + a full S-slot unpack/nonzero on the host — ~1.3 s at
+    # s22). The native pass measures ~6 ms per M survivor edges (0.10 s
+    # over the 17.5 M-edge s22 survivor set), so even a full-E pass wins;
+    # the 7-pass numpy path keeps the conservative E/8 cut. Round 5: the
+    # s22 scaling outlier (1.84 s vs 29 M edges/s at s21/s23) was exactly
+    # this threshold — s22's survivor adjacency (17.49 M) sits 10% past
+    # E/8 (15.91 M), tripping the fallback (docs/ROOFLINE.md round-5
+    # scaling decomposition).
+    limit = (
+        graph.num_edges
+        if native_ok
+        else max(graph.num_edges // 8, 1 << 22)
+    )
+    if total > limit:
+        return None  # weak pruning: the packed download is cheaper
+    if native_ok:
+        am = or_over_bits_np(pattern, label_tv[rows])
+        return native.recon_pairs_native(
+            rp, cols_arr,
+            np.ascontiguousarray(label_tv, dtype=np.uint32),
+            np.ascontiguousarray(am, dtype=np.uint32),
+            rows.astype(np.int64), total,
+        )
     csum = np.cumsum(lens)
     idx = np.arange(total, dtype=np.int64) + np.repeat(
         starts - np.concatenate(([0], csum[:-1])), lens

@@ -92,6 +92,10 @@ PINNED_ANCHORS = {
         "active_vertices": 147, "active_edges": 262, "subgraphs": 74,
         "traversed_edges": 13207467,
     },
+    (22, "tree"): {  # chip-measured round 5 (post recon-threshold fix)
+        "active_vertices": 412, "active_edges": 744, "subgraphs": 296,
+        "traversed_edges": 30730528,
+    },
     # new (scale, corpus) keys: pin by running the oracle (or the already
     # cross-validated bucketed engine) once and committing the counts here
 }
