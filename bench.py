@@ -94,8 +94,12 @@ ANCHORS = {
         "subgraphs": 296,
         "traversed_edges": 30730528,
     },
-    # s23: pinned when re-measured this round (the round-4 numbers
-    # recorded only rounded traversed counts) — see tools/sweep.py cells.
+    23: {
+        "active_vertices": 7,
+        "active_edges": 12,
+        "subgraphs": 1,
+        "traversed_edges": 27971377,
+    },
 }
 
 

@@ -96,6 +96,10 @@ PINNED_ANCHORS = {
         "active_vertices": 412, "active_edges": 744, "subgraphs": 296,
         "traversed_edges": 30730528,
     },
+    (23, "tree"): {  # chip-measured round 5
+        "active_vertices": 7, "active_edges": 12, "subgraphs": 1,
+        "traversed_edges": 27971377,
+    },
     # new (scale, corpus) keys: pin by running the oracle (or the already
     # cross-validated bucketed engine) once and committing the counts here
 }
