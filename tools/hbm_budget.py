@@ -59,6 +59,36 @@ def bucket_table(deg, min_width=8, max_width=8192):
     return table
 
 
+def tiled_bytes(table, v):
+    """Physical (tile-padded) device bytes of the engine statics.
+
+    TPU arrays tile the two minormost dims to (sublane, lane) =
+    (8, 128) for 32-bit types, (32, 128) for 8-bit: a 2-D [n, w] array
+    with w < 128 occupies n * 128 lanes physically — 16x for the w=8
+    bucket. This is what actually OOMed the s24 attempt: the un-tiled
+    model below said 9.3 GiB, the tiled statics alone exceed HBM. (Same
+    mechanism as the round-4 mask-reuse revert's '16x padding
+    expansion', now with the arithmetic.)"""
+    per_bucket = []
+    total = 0
+    for b in table:
+        w, n = b["width"], b["rows"]
+        wpad32 = max(w, 128)
+        n8, n32 = -(-n // 8) * 8, -(-n // 32) * 32
+        bytes_b = (
+            2 * 4 * n8 * wpad32  # adj + rev int32
+            + 2 * 1 * n32 * wpad32  # valid bool + label code uint8
+        )
+        per_bucket.append(
+            {"width": w, "rows": n, "logical_bytes": 10 * n * w,
+             "tiled_bytes": bytes_b,
+             "inflation": round(bytes_b / max(10 * n * w, 1), 2)}
+        )
+        total += bytes_b
+    total += 12 * v  # V-sized consts (1-D: padding negligible)
+    return total, per_bucket
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json-out", default=None)
@@ -78,6 +108,7 @@ def main():
     largest = max(b["slots"] for b in table)
 
     static = 10 * S + 16 * rows + 12 * v
+    tiled_static, tiled_detail = tiled_bytes(table, v)
     state = 4 * v + v // 8
     full_state = state + 2 * (S + 1)
     transient = 12 * largest
@@ -89,6 +120,12 @@ def main():
         "pad_factor": round(S / e, 3),
         "rows": rows,
         "buckets": table,
+        "tiled": {
+            "static_residents_tiled": tiled_static,
+            "static_tiled_gib": round(tiled_static / (1 << 30), 2),
+            "per_bucket": tiled_detail,
+            "fits": tiled_static + state + transient < HBM_BYTES,
+        },
         "bytes": {
             "static_residents": static,
             "search_state_production": state,
