@@ -262,17 +262,33 @@ class BucketedLccEngine:
                 list(parts) + [jnp.zeros(1, dtype=jnp.uint32)]
             )[self._inv_perm]
         )
+        # lane-packed device planes: see _lane_group — [n, w<128] buckets
+        # upload as [ceil(n/g), g*w] so physical (tiled) bytes equal
+        # logical bytes; padded rows carry dead values (adj=V sentinel,
+        # rev=S dead slot, valid=False, code=0 non-matching)
+        self._groups = [
+            self._lane_group(b.adj.shape[1]) for b in self.buckets
+        ]
         self._dev = [
             (
                 jnp.asarray(b.rows, dtype=jnp.int32),
-                jnp.asarray(b.adj),
-                jnp.asarray(b.rev, dtype=jnp.int32),
-                jnp.asarray(b.valid),
+                jnp.asarray(self._pack2d_np(b.adj, g, v)),
+                jnp.asarray(
+                    self._pack2d_np(b.rev, g, self.num_slots),
+                    dtype=jnp.int32,
+                ),
+                # the per-slot validity plane is no longer consumed by any
+                # program (the gate was dropped with the half-step widths);
+                # a 1-element placeholder keeps the tuple arity without
+                # holding an S-sized bool plane in HBM (~0.76 GB at s24)
+                jnp.zeros(1, dtype=bool),
                 jnp.asarray(b.seg_id, dtype=jnp.int32),
                 jnp.asarray(b.seg_rows, dtype=jnp.int32),
-                jnp.asarray(code),
+                jnp.asarray(self._pack2d_np(code, g, 0)),
             )
-            for b, code in zip(self.buckets, self._adj_codes)
+            for b, code, g in zip(
+                self.buckets, self._adj_codes, self._groups
+            )
         ]
         # edge-metadata-constrained matching (see LccEngine): ``edge_meta``
         # = (allow [M+1, K] uint32 tables, per-original-edge codes [E]).
@@ -291,13 +307,16 @@ class BucketedLccEngine:
             self.meta_allow = jnp.asarray(allow, dtype=jnp.uint32)
             self._meta_dev = [
                 jnp.asarray(
-                    np.where(
-                        b.edge_ids >= 0,
-                        ecode[np.maximum(b.edge_ids, 0)],
-                        mzero,
-                    ).astype(np.int32)
+                    self._pack2d_np(
+                        np.where(
+                            b.edge_ids >= 0,
+                            ecode[np.maximum(b.edge_ids, 0)],
+                            mzero,
+                        ).astype(np.int32),
+                        g, mzero,
+                    )
                 )
-                for b in self.buckets
+                for b, g in zip(self.buckets, self._groups)
             ]
         else:
             self.meta_allow = None
@@ -318,7 +337,10 @@ class BucketedLccEngine:
             class_pad = np.zeros(v + 1, dtype=np.uint8)
             for j, cl in enumerate(class_labels):
                 class_pad[:v][lab == cl] = j + 1
-            self._class_dev = [jnp.asarray(class_pad[b.adj]) for b in self.buckets]
+            self._class_dev = [
+                jnp.asarray(self._pack2d_np(class_pad[b.adj], g, 0))
+                for b, g in zip(self.buckets, self._groups)
+            ]
         else:
             self.required = None
             self._class_dev = None
@@ -415,6 +437,85 @@ class BucketedLccEngine:
             keep = keep | jnp.where(ok, jnp.uint32(1 << i), jnp.uint32(0))
         return keep
 
+    # -- lane packing of narrow buckets -------------------------------
+    # TPU tiles the two minormost dims to (8, 128) (32-bit types), so a
+    # 2-D [n, w<128] array physically occupies 128 lanes per row — 16x
+    # inflation for the w=8 bucket, which is what put s24's statics at
+    # 16.81 GiB > 16 GiB HBM (BENCH_HBM_S24.json, docs/ROOFLINE.md
+    # round-5 s24 section). Packing g = 128/w logical rows per physical
+    # row makes physical == logical bytes. A row-major reshape
+    # [n, w] -> [N, g*w] preserves the FLAT slot order, so slot_base,
+    # edge_to_slot, rev targets and the alive bitmap layout are all
+    # unchanged — only the device-side 2-D view and the in-kernel
+    # reduce/broadcast shapes differ.
+
+    def _lane_group(self, w: int) -> int:
+        if self.use_pallas:  # pallas kernels expect the [n, w] view
+            return 1
+        return max(1, 128 // w)
+
+    @staticmethod
+    def _pack2d_np(a: np.ndarray, g: int, fill):
+        """Host-side: pad rows to a multiple of g, reshape to [N, g*w]."""
+        if g == 1:
+            return a
+        n, w = a.shape
+        n_pad = -(-n // g) * g
+        if n_pad != n:
+            a = np.concatenate(
+                [a, np.full((n_pad - n, w), fill, dtype=a.dtype)], axis=0
+            )
+        return a.reshape(n_pad // g, g * w)
+
+    @staticmethod
+    def _slot2d(flat, base: int, n: int, w: int, g: int):
+        """Device view of a flat slot-space slice as the packed 2-D
+        bucket plane (padded lanes carry the flat array's dead value)."""
+        seg = flat[base : base + n * w]
+        if g == 1:
+            return seg.reshape(n, w)
+        n_pad = -(-n // g) * g
+        seg = jnp.pad(seg, (0, (n_pad - n) * w))
+        return seg.reshape(n_pad // g, g * w)
+
+    @staticmethod
+    def _rowbc(vals, n: int, w: int, g: int):
+        """Per-logical-row [n] values broadcast to the packed plane
+        ([n, 1] when unpacked — the old broadcasting shape)."""
+        if g == 1:
+            return vals[:, None]
+        n_pad = -(-n // g) * g
+        v = jnp.pad(vals, (0, n_pad - n))
+        return jnp.repeat(v.reshape(n_pad // g, g), w, axis=1)
+
+    @staticmethod
+    def _fold(mat, op, n: int, w: int):
+        """Per-logical-row reduce of a packed plane via pairwise lane
+        folds (blocks of w stay contiguous at every fold level)."""
+        x = mat
+        ww = w
+        while ww > 1:
+            x = op(x[:, 0::2], x[:, 1::2])
+            ww //= 2
+        return x.reshape(-1)[:n]
+
+    def _red_or(self, mat, n, w, g):
+        if g == 1:
+            return jax.lax.reduce(
+                mat, np.uint32(0), jax.lax.bitwise_or, dimensions=[1]
+            )
+        return self._fold(mat, jnp.bitwise_or, n, w)
+
+    def _red_sum(self, mat, n, w, g):
+        if g == 1:
+            return jnp.sum(mat, axis=1)
+        return self._fold(mat, jnp.add, n, w)
+
+    def _red_any(self, mat, n, w, g):
+        if g == 1:
+            return jnp.any(mat, axis=1)
+        return self._fold(mat, jnp.logical_or, n, w)
+
     @staticmethod
     def _segment_or(values, seg_id, n_seg):
         """OR-combine uint32 values per segment (tiny: split-hub partials)."""
@@ -451,13 +552,13 @@ class BucketedLccEngine:
             # ~S-element random HBM gathers (the dominant superstep cost,
             # docs/ROOFLINE.md) collapse into one.
             parts = []
-            for bkt, (rows, adj, rev, valid, seg_id, seg_rows, _c) in zip(
-                self.buckets, bucket_arrays
+            for bkt, g, (rows, adj, rev, valid, seg_id, seg_rows, _c) in zip(
+                self.buckets, self._groups, bucket_arrays
             ):
-                n, w = adj.shape
+                n, w = bkt.adj.shape  # logical shape; device is packed
                 base = bkt.slot_base
                 tv_rows = tv[seg_rows][seg_id]  # [n] broadcast per row
-                own_alive = alive[base : base + n * w].reshape(n, w)
+                own_alive = self._slot2d(alive, base, n, w, g)
                 parts.append(
                     (
                         jnp.where(
@@ -465,8 +566,8 @@ class BucketedLccEngine:
                             jnp.uint32(0x80000000),
                             jnp.uint32(0),
                         )
-                        | tv_rows[:, None]
-                    ).reshape(-1)
+                        | self._rowbc(tv_rows, n, w, g)
+                    ).reshape(-1)[: n * w]
                 )
             payload_pad = jnp.concatenate(
                 parts + [jnp.zeros(1, dtype=jnp.uint32)]
@@ -476,7 +577,8 @@ class BucketedLccEngine:
         for bi, (bkt, (rows, adj, rev, valid, seg_id, seg_rows, adj_code)) in (
             enumerate(zip(self.buckets, bucket_arrays))
         ):
-            n, w = adj.shape
+            n, w = bkt.adj.shape  # logical; device planes are lane-packed
+            g = self._groups[bi]
             n_seg = len(bkt.seg_rows)
             split = n_seg != n
             base = bkt.slot_base  # static python int
@@ -493,7 +595,7 @@ class BucketedLccEngine:
                 # the precomputed label codes (a few selects; padding and
                 # non-template labels are code-mismatches -> 0) instead of
                 # the E-sized random gather
-                p_bits = jnp.zeros((n, w), dtype=jnp.uint32)
+                p_bits = jnp.zeros(adj_code.shape, dtype=jnp.uint32)
                 for cidx, bits in self._init_pairs:
                     p_bits = p_bits | jnp.where(
                         adj_code == cidx, bits, jnp.uint32(0)
@@ -524,26 +626,23 @@ class BucketedLccEngine:
                 # metadata mode: per-slot allowed-parent masks (the slot's
                 # static edge-metadata code selects the allow row) and a
                 # SEPARATE tn per receiver bit — exact per (p, i, value)
-                mc = metas[bi]  # [n, w] int32 codes
-                mask = jnp.zeros((n, w), dtype=jnp.uint32)
+                mc = metas[bi]  # packed-plane int32 codes
+                mask = jnp.zeros(mc.shape, dtype=jnp.uint32)
                 tn_list = []
                 for i in range(self.k):
-                    allow_i = jnp.take(self.meta_allow[:, i], mc)  # [n, w]
+                    allow_i = jnp.take(self.meta_allow[:, i], mc)
                     has_i = (((tv_seg >> i) & 1) != 0)[seg_id]  # [n]
                     mask = mask | jnp.where(
-                        has_i[:, None], allow_i, jnp.uint32(0)
+                        self._rowbc(has_i, n, w, g), allow_i, jnp.uint32(0)
                     )
-                    tn_i_rows = jax.lax.reduce(
-                        p_bits & allow_i, np.uint32(0), jax.lax.bitwise_or,
-                        dimensions=[1],
-                    )
+                    tn_i_rows = self._red_or(p_bits & allow_i, n, w, g)
                     tn_list.append(
                         self._segment_or(tn_i_rows, seg_id, n_seg)
                         if split
                         else tn_i_rows
                     )
                 accept = (p_bits & mask) != 0
-                row_any = jnp.any(accept, axis=1)
+                row_any = self._red_any(accept, n, w, g)
                 if split:
                     in_map = (
                         jax.ops.segment_max(
@@ -557,11 +656,11 @@ class BucketedLccEngine:
                 new_tv_seg = tv_seg & self._keep_mask_per_i(tn_list)
             else:
                 if not use_pallas:
-                    accept = (p_bits & adj_mask_seg[seg_id][:, None]) != 0
+                    accept = (
+                        p_bits & self._rowbc(adj_mask_seg[seg_id], n, w, g)
+                    ) != 0
                     pa = jnp.where(accept, p_bits, jnp.uint32(0))
-                    tn_rows = jax.lax.reduce(
-                        pa, np.uint32(0), jax.lax.bitwise_or, dimensions=[1]
-                    )
+                    tn_rows = self._red_or(pa, n, w, g)
                 if split:
                     tn = self._segment_or(tn_rows, seg_id, n_seg)
                 else:
@@ -587,8 +686,9 @@ class BucketedLccEngine:
                         req = int(self.required[i, j])
                         if req <= 0:
                             continue
-                        cnt = jnp.sum(
-                            (acc_i & (cls == j + 1)).astype(jnp.int32), axis=1
+                        cnt = self._red_sum(
+                            (acc_i & (cls == j + 1)).astype(jnp.int32),
+                            n, w, g,
                         )
                         if split:
                             cnt = jax.ops.segment_sum(
@@ -606,19 +706,19 @@ class BucketedLccEngine:
                 died_b = (tv_seg != 0) & (new_tv_seg == 0)
             died = died | jnp.any(died_b)
 
-            row_live = (new_tv_seg != 0)[seg_id]
+            row_live_bc = self._rowbc((new_tv_seg != 0)[seg_id], n, w, g)
             if init:
-                new_alive_b = accept & row_live[:, None]
+                new_alive_b = accept & row_live_bc
             else:
-                own_alive = alive[base : base + n * w].reshape(n, w)
-                own_flag = tp_flag[base : base + n * w].reshape(n, w)
-                new_alive_b = own_alive & (accept | own_flag) & row_live[:, None]
-            new_alive_parts.append(new_alive_b.reshape(-1))
+                own_alive = self._slot2d(alive, base, n, w, g)
+                own_flag = self._slot2d(tp_flag, base, n, w, g)
+                new_alive_b = own_alive & (accept | own_flag) & row_live_bc
+            new_alive_parts.append(new_alive_b.reshape(-1)[: n * w])
             new_tv_parts.append(new_tv_seg)
 
             sendok_per_row = (
                 sendok_rows if use_pallas
-                else jnp.sum(send_ok, axis=1, dtype=jnp.int32)
+                else self._red_sum(send_ok.astype(jnp.int32), n, w, g)
             )
             if self.num_ranks == 1:
                 av_r = av_r + jnp.sum(new_tv_seg != 0, dtype=jnp.int32)[None]
@@ -632,7 +732,8 @@ class BucketedLccEngine:
                 )
                 own_rows = owner[rows]
                 ae_r = ae_r + jax.ops.segment_sum(
-                    jnp.sum(new_alive_b, axis=1).astype(jnp.int32), own_rows,
+                    self._red_sum(new_alive_b.astype(jnp.int32), n, w, g),
+                    own_rows,
                     num_segments=self.num_ranks,
                 )
                 msg_r = msg_r + jax.ops.segment_sum(
@@ -900,15 +1001,19 @@ class BucketedLccEngine:
         for bi, (rows, adj, rev, valid, seg_id, seg_rows, adj_code) in (
             enumerate(bucket_arrays)
         ):
-            p_bits = jnp.zeros(adj.shape, dtype=jnp.uint32)
+            n, w = self.buckets[bi].adj.shape
+            g = self._groups[bi]
+            p_bits = jnp.zeros(adj_code.shape, dtype=jnp.uint32)
             for cidx, bits in self._init_pairs:
                 p_bits = p_bits | jnp.where(
                     adj_code == cidx, bits, jnp.uint32(0)
                 )
             adj_mask_seg = self._init_adjmask_seg[bi]
-            accept = (p_bits & adj_mask_seg[seg_id][:, None]) != 0
-            row_live = (tv_parts[bi] != 0)[seg_id]
-            parts.append((accept & row_live[:, None]).reshape(-1))
+            accept = (
+                p_bits & self._rowbc(adj_mask_seg[seg_id], n, w, g)
+            ) != 0
+            row_live_bc = self._rowbc((tv_parts[bi] != 0)[seg_id], n, w, g)
+            parts.append((accept & row_live_bc).reshape(-1)[: n * w])
         return jnp.concatenate(parts + [jnp.zeros(1, bool)])
 
     def _ensure_alive(self, state: BucketedState) -> None:
